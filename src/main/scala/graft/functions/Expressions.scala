@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions — each generates a single static call into
+  * GraftKernels so they stay inside whole-stage codegen (no UDF boxing,
+  * no serialization of closures). Preference order per SURVEY.md par.7.3:
+  * these are the only custom kernels the engine needs; everything else is
+  * composed from org.apache.spark.sql.functions.
+  */
+
+/** jaro_winkler(str, str) -> double. Spark has levenshtein built in but no
+  * Jaro-Winkler; the reference's classifier (idrt/model_classifier.py:129-178)
+  * is replaced by deterministic string-similarity features of which this is
+  * the main one.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GraftKernels.jaroWinkler(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftKernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler"
+}
+
+/** char_tokenize(str, maxLength) -> array<int> of exactly maxLength ids
+  * (reference tokenizer, idrt/data.py:216-242).
+  */
+case class CharTokenize(child: Expression, maxLength: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.tokenize(v.asInstanceOf[UTF8String], maxLength)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.tokenize($c, $maxLength)")
+  override protected def withNewChildInternal(c: Expression): CharTokenize =
+    copy(child = c)
+  override def prettyName: String = "char_tokenize"
+}
+
+object CharTokenize {
+  def column(c: Column, maxLength: Int): Column =
+    GraftBridge.column(CharTokenize(GraftBridge.expression(c), maxLength))
+}
+
+/** cosine_sim(array<float|double>, array<float|double>) -> double. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => throw new IllegalArgumentException(s"cosine_sim expects arrays, got $t")
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float>/array<double>, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  private lazy val isFloat = elemType(left) == FloatType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (isFloat) GraftKernels.cosineF(a, b) else GraftKernels.cosineD(a, b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "cosineF" else "cosineD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftKernels.$fn($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** l2_dist(array<float>, array<float>) -> double (euclidean,
+  * reference: idrt/contrastive_metric.py:10-43).
+  */
+case class L2Dist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GraftKernels.l2F(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftKernels.l2F($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Dist =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_dist"
+}
+
+/** simhash64(str) -> long — deterministic 64-bit SimHash over words. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Column-level API for the custom expressions + composed similarity fns. */
+object Similarity {
+  import org.apache.spark.sql.functions._
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftBridge.column(JaroWinkler(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def l2Dist(a: Column, b: Column): Column =
+    GraftBridge.column(L2Dist(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def simHash64(c: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+
+  /** Annoy angular distance -> cosine similarity, (2 - d^2)/2
+    * (reference: idrt/algorithm/run_search.py:159-161).
+    */
+  def angularToCosine(d: Column): Column = (lit(2.0) - d * d) / lit(2.0)
+
+  /** Levenshtein similarity normalized to [0, 1]. Uses Spark's built-in
+    * (codegen'd) levenshtein; 1.0 for two empty strings.
+    */
+  def levenshteinSim(a: Column, b: Column): Column = {
+    val maxLen = greatest(length(a), length(b))
+    when(maxLen === 0, lit(1.0))
+      .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / maxLen.cast("double"))
+  }
+
+  /** Word-set Jaccard similarity between two texts: |A n B| / |A u B| over
+    * distinct whitespace tokens. Pure built-ins — stays in codegen.
+    */
+  def wordJaccard(a: Column, b: Column): Column = {
+    val wa = array_distinct(split(a, " "))
+    val wb = array_distinct(split(b, " "))
+    val inter = size(array_intersect(wa, wb)).cast("double")
+    val union = size(array_union(wa, wb)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+}

@@ -1,0 +1,231 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static scalar kernels invoked from generated code (whole-stage codegen
+  * emits a single static call per row — no virtual dispatch, no boxing of
+  * the string arguments).
+  */
+object GraftKernels {
+
+  /** Jaro similarity. Semantics pinned to the public Jaro definition as
+    * implemented by DuckDB/RapidFuzz (so our DuckDB oracle agrees to the
+    * last double): either side empty -> 0.0; match window =
+    * max(len)/2 - 1 (floor, min 0); transpositions counted over matched
+    * sequences; (m/l1 + m/l2 + (m-t)/m) / 3 with t = half the out-of-order
+    * count. Replaces the reference's learned classifier distance as one of
+    * the scoring features (SURVEY.md par.2.9 M2).
+    */
+  def jaro(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (len1 == 1 && len2 == 1) return if (s1.charAt(0) == s2.charAt(0)) 1.0 else 0.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val matched1 = new Array[Boolean](len1)
+    val matched2 = new Array[Boolean](len2)
+    var m = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+          matched1(i) = true
+          matched2(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars of s1 vs matched chars of s2, in order
+    var transpositions = 0
+    var j = 0
+    i = 0
+    while (i < len1) {
+      if (matched1(i)) {
+        while (!matched2(j)) j += 1
+        if (s1.charAt(i) != s2.charAt(j)) transpositions += 1
+        j += 1
+      }
+      i += 1
+    }
+    // DuckDB/RapidFuzz floor the out-of-order count: t = raw/2 (integer
+    // division) — verified vs duckdb on 'abcdef'/'bcadef' (raw=3 -> t=1).
+    val t = transpositions / 2
+    val md = m.toDouble
+    (md / len1 + md / len2 + (md - t) / md) / 3.0
+  }
+
+  /** Jaro-Winkler: prefix boost (scale 0.1, prefix capped at 4) applied
+    * only when jaro > 0.7 — matches DuckDB's jaro_winkler_similarity
+    * (verified empirically against duckdb 'crate'/'trace',
+    * 'aaxxxxxx'/'aayyyyyy': no boost at jaro <= 0.7).
+    */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) return j
+    var prefix = 0
+    val max = math.min(4, math.min(s1.length, s2.length))
+    while (prefix < max && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    j + prefix * 0.1 * (1.0 - j)
+  }
+
+  def jaroWinkler(s1: UTF8String, s2: UTF8String): Double =
+    jaroWinkler(s1.toString, s2.toString)
+
+  /** Char tokenizer (reference: idrt/data.py:216-242): normalized text ->
+    * exactly `maxLength` token ids, right-filled with the PAD token.
+    * Out-of-vocabulary chars map to -1 (callers filter them out with the
+    * validity gate first).
+    */
+  def tokenize(s: UTF8String, maxLength: Int): ArrayData = {
+    val str = s.toString
+    val out = new Array[Int](maxLength)
+    val n = math.min(str.length, maxLength)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i).toInt
+      out(i) = if (c < 128) Normalize.TokenOf(c) else -1
+      i += 1
+    }
+    i = n
+    while (i < maxLength) { out(i) = Normalize.PadToken; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine similarity over two float vectors, accumulated in double.
+    * Replaces the reference's embedding-space comparison
+    * (idrt/cosine_metric.py:9-44). Returns 0.0 if either norm is 0.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Euclidean (L2) distance over two float vectors
+    * (reference: idrt/contrastive_metric.py:10-43).
+    */
+  def l2F(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Annoy angular distance -> cosine similarity: (2 - d^2) / 2
+    * (reference: idrt/algorithm/run_search.py:159-161).
+    */
+  def angularToCosine(d: Double): Double = (2.0 - d * d) / 2.0
+
+  /** 64-bit SimHash over whitespace words: sign-aggregate each word's
+    * xxhash-style mix. Deterministic (no seed state).
+    */
+  def simhash64(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new Array[Int](64)
+    var start = 0
+    val len = str.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 1125899906842597L // FNV-ish polynomial over the word
+          var k = start
+          while (k < i) { h = 31 * h + str.charAt(k); k += 1 }
+          h = mix64(h)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+            bit += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** splitmix64 finalizer — public-domain mixing constants. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L // 0x9E3779B97F4A7C15
+    z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+    z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+    z ^ (z >>> 31)
+  }
+
+  /** Seeded 64-bit hash of a string — the MinHash base hash. */
+  def hash64(s: String, seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  /** Polynomial rolling-hash document fingerprint over char shingles of
+    * width w: min of the rolling window hashes (a 1-perm MinHash); used as
+    * a cheap near-dup fingerprint.
+    */
+  def rollingMinHash(s: UTF8String, w: Int): Long = {
+    val str = s.toString
+    if (str.length < w) return mix64(hash64(str, 0L))
+    var min = Long.MaxValue
+    var i = 0
+    while (i + w <= str.length) {
+      var h = 0L
+      var k = i
+      while (k < i + w) { h = 31 * h + str.charAt(k); k += 1 }
+      val m = mix64(h)
+      if (m < min) min = m
+      i += 1
+    }
+    min
+  }
+}

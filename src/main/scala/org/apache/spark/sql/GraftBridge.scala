@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column <-> catalyst Expression
+  * converters of Spark 4's classic API. Spark 4 wraps Column around
+  * ColumnNode (for Connect unification); building a Column from a custom
+  * catalyst Expression goes through classic.ExpressionUtils.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
