@@ -111,6 +111,35 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** ngram_embed(str, dim) -> array<float>: deterministic char-trigram
+  * hashed embedding, L2-normalized (the Spark-native replacement for the
+  * reference's PyTorch encoder, idrt/model.py:292-393 — SURVEY.md M1).
+  */
+case class NgramEmbed(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.embedF(v.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.embedF($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): NgramEmbed = copy(child = c)
+  override def prettyName: String = "ngram_embed"
+}
+
+/** rhp_key(array<float>, bits, seed) -> long LSH bucket key
+  * (random-hyperplane signs; SURVEY.md J6 distributed replacement).
+  */
+case class RhpKey(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.rhpKey(v.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.rhpKey($c, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): RhpKey = copy(child = c)
+  override def prettyName: String = "rhp_key"
+}
+
 /** Column-level API for the custom expressions + composed similarity fns. */
 object Similarity {
   import org.apache.spark.sql.functions._
@@ -126,6 +155,12 @@ object Similarity {
 
   def simHash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+
+  def ngramEmbed(c: Column, dim: Int): Column =
+    GraftBridge.column(NgramEmbed(GraftBridge.expression(c), dim))
+
+  def rhpKey(c: Column, bits: Int, seed: Long): Column =
+    GraftBridge.column(RhpKey(GraftBridge.expression(c), bits, seed))
 
   /** Annoy angular distance -> cosine similarity, (2 - d^2)/2
     * (reference: idrt/algorithm/run_search.py:159-161).

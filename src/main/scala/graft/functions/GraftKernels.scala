@@ -209,6 +209,71 @@ object GraftKernels {
     mix64(h)
   }
 
+  /** Deterministic char-trigram hashed embedding: each trigram of the
+    * input is hashed to a (bucket, sign) pair; the accumulated vector is
+    * L2-normalized. This replaces the reference's learned character
+    * transformer encoder (idrt/model.py:292-393) with a pure function of
+    * the normalized text — same role (compact blocking signature), no
+    * model artifact, embarrassingly parallel, codegen-friendly.
+    */
+  def embedF(s: UTF8String, dim: Int): ArrayData = {
+    val str = s.toString
+    val acc = new Array[Double](dim)
+    val n = str.length
+    if (n >= 3) {
+      var i = 0
+      while (i + 3 <= n) {
+        var h = 0L
+        var k = i
+        while (k < i + 3) { h = 31 * h + str.charAt(k); k += 1 }
+        h = mix64(h)
+        val bucket = ((h % dim).toInt + dim) % dim
+        val sign = if (((h >>> 62) & 1L) == 1L) 1.0 else -1.0
+        acc(bucket) += sign
+        i += 1
+      }
+    } else if (n > 0) {
+      val h = hash64(str, 7L)
+      acc(((h % dim).toInt + dim) % dim) += 1.0
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += acc(i) * acc(i); i += 1 }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane LSH bucket key over a float vector: `bits` sign
+    * bits of pseudo-random projections (hyperplane components derived from
+    * mix64(seed, bit, dim) — deterministic, no stored model). Cosine-similar
+    * vectors collide with probability (1 - theta/pi)^bits; use several
+    * seeds (tables) and union the candidates. Distributed analogue of the
+    * reference's Annoy forest (idrt/algorithm/run_search.py:110-204):
+    * n_trees -> number of tables, threshold applied after the bucket join.
+    */
+  def rhpKey(v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var key = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = mix64(seed * 1315423911L + b * 2654435761L + i)
+        // map hash to a deterministic pseudo-gaussian component in [-1, 1]
+        val comp = (h.toDouble / Long.MaxValue.toDouble)
+        dot += comp * v.getFloat(i)
+        i += 1
+      }
+      if (dot >= 0) key |= (1L << b)
+      b += 1
+    }
+    key
+  }
+
   /** Polynomial rolling-hash document fingerprint over char shingles of
     * width w: min of the rolling window hashes (a 1-perm MinHash); used as
     * a cheap near-dup fingerprint.

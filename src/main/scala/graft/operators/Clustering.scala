@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Transitive closure / entity clustering — NEW vs the reference (the
+  * reference stops at the pair table, idrt/algorithm/run_search.py:524-536;
+  * the north rule adds clustering).
+  *
+  * Implementation: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+  * O(log^2 n) rounds independent of component diameter, unlike naive
+  * min-label propagation which needs O(diameter) rounds and dies on the
+  * long chains duplicate records form (a-b-c-... name-typo chains).
+  *
+  * Scale notes: each star is expressed as groupBy-min + an equi join back
+  * to the edge list — never collect_list, so a super-node (a hot cluster
+  * with millions of members) stays distributed across partitions. Rounds
+  * are localCheckpoint'ed to cut lineage (SURVEY.md par.7.4).
+  */
+object Clustering {
+
+  /** edges: two columns (src, dst) of any orderable type. Returns
+    * (node, cluster_id) where cluster_id = min node id in the component.
+    * Isolated nodes (absent from edges) are the caller's concern — see
+    * clusterAll.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // canonical undirected edge set (u < v), self-loops dropped
+    var e = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter($"s" =!= $"d")
+      .select(least($"s", $"d").as("u"), greatest($"s", $"d").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // --- large-star: for each node x, attach every strictly-larger
+      // neighbor to m(x) = min(N(x) u {x}).
+      val nbrs = e.select($"u".as("x"), $"v".as("y"))
+        .unionAll(e.select($"v".as("x"), $"u".as("y")))
+      val mins = nbrs.groupBy($"x").agg(min($"y").as("mn"))
+        .select($"x", least($"x", $"mn").as("m"))
+      val large = nbrs.join(mins, "x")
+        .filter($"y" > $"x")
+        .select($"m".as("u"), $"y".as("v")) // m <= x < y
+        .distinct()
+
+      // --- small-star: group canonical edges by the larger endpoint v;
+      // m = min of its smaller neighbors; attach v and every non-min
+      // smaller neighbor to m.
+      val mins2 = large.groupBy($"v").agg(min($"u").as("m"))
+      val attachNeighbors = large.join(mins2, "v")
+        .filter($"u" =!= $"m")
+        .select($"m".as("u"), $"u".as("v"))
+      val attachCenter = mins2.select($"m".as("u"), $"v")
+      val small = attachNeighbors.unionByName(attachCenter).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // convergence = edge-set fixpoint
+      val changed = small.count() != e.count() ||
+        !small.join(e, Seq("u", "v"), "left_anti").isEmpty
+      val checkpointed = small.localCheckpoint(true)
+      small.unpersist(false)
+      e = checkpointed
+      converged = !changed
+      iter += 1
+    }
+
+    // fixpoint edge set is a star forest rooted at the component minimum
+    val members = e.select($"v".as("node"), $"u".as("cluster_id"))
+    val roots = e.select($"u".as("node")).distinct()
+      .withColumn("cluster_id", $"node")
+    members.unionByName(roots)
+      .groupBy($"node").agg(min($"cluster_id").as("cluster_id"))
+  }
+
+  /** CC including isolated vertices: every row of `vertices` gets a
+    * cluster id (its own id when unmatched).
+    */
+  def clusterAll(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val cc = connectedComponents(edges, srcCol, dstCol)
+    vertices.select(col(idCol).as("node"))
+      .join(cc, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+  }
+}

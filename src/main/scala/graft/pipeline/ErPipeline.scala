@@ -1,0 +1,344 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Normalize, Similarity}
+import graft.operators.Clustering
+import graft.plans.StageStore
+
+/** The end-to-end record-linkage pipeline (SURVEY.md par.7.1):
+  *
+  * ingest -> extract -> normalize -> signatures -> candidates -> scores ->
+  * clusters -> metrics
+  *
+  * Spark-first redesign of the reference's step_1_encode_contacts +
+  * step_2_run_search (idrt/algorithm/prepare_data.py:155-235,
+  * run_search.py:539-599): the PyTorch encoder becomes a deterministic
+  * char-trigram hashed embedding (M1), Annoy becomes random-hyperplane LSH
+  * bucket joins (J6), the cross-attention classifier becomes calibrated
+  * string-similarity features (M2), and — new vs the reference — matched
+  * pairs are resolved to entities by distributed connected components.
+  *
+  * Scale design: every stage is a declarative DataFrame plan (filters and
+  * projections reach the parquet scan); the only shuffles are (a) the
+  * explode-by-blocking-key self-join, keyed by block, (b) the scoring
+  * join back to records, keyed by url, and (c) the CC rounds. Hot blocks
+  * are bounded by sorted-neighborhood pairing so no key ever goes
+  * quadratic; AQE mops up residual partition skew.
+  */
+object ErPipeline {
+
+  final case class Config(
+      outRoot: String = "",
+      pipelineVersion: String = "graft-er-v1",
+      matchThreshold: Double = 0.45,
+      embedDim: Int = 64,
+      maxBlock: Int = 256,
+      hotWindow: Int = 8,
+      lshBits: Int = 12,
+      lshTables: Int = 2,
+      useLsh: Boolean = true)
+
+  // -------------------------------------------------------------------
+  // stage 1: extract — html binary -> canonical text + contact fields
+  // -------------------------------------------------------------------
+
+  /** The byte-identical extraction (north rule): strip tags, collapse
+    * whitespace, trim. Pure Catalyst (regexp_replace), mirrored exactly by
+    * WebPageGen.extractTextJvm; tests pin the invariant per url.
+    */
+  def extractText(html: Column): Column =
+    trim(regexp_replace(regexp_replace(decode(html, "UTF-8"), "<[^>]*>", " "), "\\s+", " "))
+
+  private def spanField(htmlStr: Column, cls: String): Column =
+    regexp_extract(htmlStr, s"""<span class="$cls">([^<]*)</span>""", 1)
+
+  /** pages(url, warc_ts, html, text, lang) ->
+    * + extracted_text (must equal text byte-for-byte)
+    * + first/last/email/phone/state/zip parsed from the markup.
+    */
+  def extract(pages: DataFrame): DataFrame = {
+    val h = decode(col("html"), "UTF-8")
+    val h1 = regexp_extract(h, "<h1>([^<]*)</h1>", 1)
+    pages.select(
+      col("url"), col("warc_ts"), col("lang"), col("text"),
+      extractText(col("html")).as("extracted_text"),
+      substring_index(h1, " ", 1).as("first_name"),
+      substring_index(h1, " ", -1).as("last_name"),
+      spanField(h, "email").as("email"),
+      spanField(h, "phone").as("phone"),
+      spanField(h, "state").as("state"),
+      spanField(h, "zip").as("zip"))
+  }
+
+  // -------------------------------------------------------------------
+  // stage 2: normalize — reference par.1.6 semantics per field + validity
+  // -------------------------------------------------------------------
+
+  def normalize(extracted: DataFrame): DataFrame = {
+    val firstN = Seq(col("first_name"))
+    val lastN = Seq(col("last_name"))
+    extracted.select(
+      col("url"), col("warc_ts"), col("lang"), col("text"),
+      Normalize.normalizeField(firstN ++ lastN, 50).as("name_norm"),
+      Normalize.normalizeField(lastN ++ firstN, 50).as("name_norm_rev"),
+      Normalize.normalizeField(Seq(col("first_name")), 25).as("first_norm"),
+      Normalize.normalizeField(Seq(col("last_name")), 25).as("last_norm"),
+      Normalize.normalizeField(Seq(col("email")), 35).as("email_norm"),
+      Normalize.normalizePhone(col("phone")).as("phone_norm"),
+      Normalize.normalizeField(Seq(col("state")), 2).as("state_norm"),
+      Normalize.normalizeField(Seq(col("zip")), 5).as("zip_norm"),
+      Normalize.isValidRow(Seq(col("first_name"), col("last_name"), col("email"),
+        col("phone"), col("state"), col("zip"))).as("valid"),
+      Normalize.tokenize(Normalize.normalizeField(firstN ++ lastN, 50), 50).as("name_tokens"),
+      Normalize.nonPadLength(Normalize.normalizeField(firstN ++ lastN, 50)).as("name_len"))
+  }
+
+  // -------------------------------------------------------------------
+  // stage 3: signatures — blocking keys + embedding (M1 replacement)
+  // -------------------------------------------------------------------
+
+  /** Swap-invariant canonical name: sorted distinct words. */
+  private def nameSorted: Column =
+    array_join(array_sort(split(col("name_norm"), " ")), " ")
+
+  def signatures(normalized: DataFrame, cfg: Config = Config()): DataFrame = {
+    val embedInput = concat_ws("|", nameSorted, col("email_norm"), col("phone_norm"))
+    val emb = Similarity.ngramEmbed(embedInput, cfg.embedDim)
+    val soundexKey = concat(lit("n:"),
+      array_join(array_sort(array(soundex(col("first_norm")), soundex(col("last_norm")))), "|"),
+      lit(":"), col("lang"))
+    val exactKeys = array(
+      when(length(col("email_norm")) > 0, concat(lit("e:"), col("email_norm"))),
+      when(length(col("phone_norm")) > 0, concat(lit("p:"), col("phone_norm"))),
+      when(length(col("name_norm")) > 0, soundexKey))
+    val lshKeys: Seq[Column] = if (cfg.useLsh) {
+      (0 until cfg.lshTables).map { t =>
+        concat(lit(s"h$t:"),
+          Similarity.rhpKey(col("embedding"), cfg.lshBits, 0x5EED0000L + t).cast("string"))
+      }
+    } else Seq.empty
+    val allKeys =
+      if (lshKeys.isEmpty) exactKeys
+      else concat(exactKeys, array(lshKeys: _*))
+    normalized
+      .withColumn("embedding", emb)
+      .withColumn("block_keys", filter(allKeys, k => k.isNotNull))
+  }
+
+  // -------------------------------------------------------------------
+  // stage 4: candidates — per-key self-join, hot-block bounding (J6)
+  // -------------------------------------------------------------------
+
+  /** Emit candidate pairs (url1 < url2, F16 canonicalization, G3 corrected
+    * self-handling). Blocks up to cfg.maxBlock pair fully; larger (hot)
+    * blocks fall back to sorted-neighborhood pairing (each member vs the
+    * next cfg.hotWindow members in url order) so no key is ever quadratic
+    * — the salting/capping strategy of SURVEY.md par.4.
+    */
+  def candidates(signatures: DataFrame, cfg: Config = Config()): DataFrame = {
+    val keyed = signatures
+      .select(explode(col("block_keys")).as("bk"), col("url"))
+    val sizes = keyed.groupBy("bk").agg(count(lit(1)).as("bk_n"))
+    val withSize = keyed.join(sizes, "bk")
+
+    val cold = withSize.filter(col("bk_n") <= cfg.maxBlock)
+    val coldPairs = cold.as("a")
+      .join(cold.as("b"), col("a.bk") === col("b.bk") && col("a.url") < col("b.url"))
+      .select(col("a.bk").as("block_key"), col("a.url").as("url1"), col("b.url").as("url2"))
+
+    val hot = withSize.filter(col("bk_n") > cfg.maxBlock)
+      .withColumn("rn", row_number().over(Window.partitionBy("bk").orderBy("url")))
+    val hotPairs = hot.as("a")
+      .join(hot.as("b"), col("a.bk") === col("b.bk")
+        && col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + cfg.hotWindow)
+      .select(col("a.bk").as("block_key"), col("a.url").as("url1"), col("b.url").as("url2"))
+
+    coldPairs.unionByName(hotPairs)
+      .groupBy("url1", "url2")
+      .agg(min("block_key").as("block_key")) // A8 dedup, deterministic min
+  }
+
+  // -------------------------------------------------------------------
+  // stage 5: scores — feature-based pair classifier (M2 replacement)
+  // -------------------------------------------------------------------
+
+  def scorePairs(cands: DataFrame, signatures: DataFrame, cfg: Config = Config()): DataFrame = {
+    val feat = signatures.select(
+      col("url"), col("lang"), col("name_norm"), col("name_norm_rev"),
+      col("email_norm"), col("phone_norm"), col("state_norm"), col("zip_norm"),
+      col("embedding"))
+    val lhs = feat.columns.foldLeft(feat)((d, c) => d.withColumnRenamed(c, c + "1"))
+    val rhs = feat.columns.foldLeft(feat)((d, c) => d.withColumnRenamed(c, c + "2"))
+
+    // two hash joins keyed by url — no broadcast (both sides are the full
+    // record table at production scale)
+    val withBoth = cands
+      .join(lhs.withColumnRenamed("url1", "url1_"), col("url1") === col("url1_"))
+      .drop("url1_")
+      .join(rhs.withColumnRenamed("url2", "url2_"), col("url2") === col("url2_"))
+      .drop("url2_")
+
+    val nonEmptyEq = (a: String, b: String) =>
+      (length(col(a)) > 0 && col(a) === col(b)).cast("double")
+    val jwDirect = Similarity.jaroWinkler(col("name_norm1"), col("name_norm2"))
+    val jwSwap = Similarity.jaroWinkler(col("name_norm1"), col("name_norm_rev2"))
+    val nameJw = greatest(jwDirect, jwSwap)
+    val nameLev = greatest(
+      Similarity.levenshteinSim(col("name_norm1"), col("name_norm2")),
+      Similarity.levenshteinSim(col("name_norm1"), col("name_norm_rev2")))
+    val cos = Similarity.cosineSim(col("embedding1"), col("embedding2"))
+
+    val score =
+      lit(0.30) * nonEmptyEq("email_norm1", "email_norm2") +
+        lit(0.30) * nonEmptyEq("phone_norm1", "phone_norm2") +
+        lit(0.15) * nameJw +
+        lit(0.10) * nameLev +
+        lit(0.05) * nonEmptyEq("state_norm1", "state_norm2") +
+        lit(0.05) * nonEmptyEq("zip_norm1", "zip_norm2") +
+        lit(0.05) * greatest(cos, lit(0.0))
+
+    withBoth.select(
+      col("url1"), col("url2"), col("block_key"),
+      col("lang1"), col("lang2"),
+      round(score, 6).as("score"))
+      .withColumn("matches", col("score") >= cfg.matchThreshold)
+      .withColumn("comparison_ts", current_timestamp())
+      .withColumn("pipeline_version", lit(cfg.pipelineVersion))
+  }
+
+  // -------------------------------------------------------------------
+  // stage 6: clusters — transitive closure (north rule, new vs reference)
+  // -------------------------------------------------------------------
+
+  def clusters(signatures: DataFrame, scored: DataFrame): DataFrame =
+    Clustering.clusterAll(
+      signatures.select("url"), "url",
+      scored.filter(col("matches")), "url1", "url2")
+
+  // -------------------------------------------------------------------
+  // stage 7: metrics — pairwise P/R/F1 vs ground truth (A6)
+  // -------------------------------------------------------------------
+
+  /** truth: (url, truth_cluster). Pairwise decisions are evaluated on the
+    * candidate pairs (i.e. "at matched blocking keys", per the baseline
+    * metric definition).
+    */
+  def pairwiseMetrics(scored: DataFrame, truth: DataFrame): DataFrame = {
+    val t1 = truth.select(col("url").as("url1"), col("truth_cluster").as("tc1"))
+    val t2 = truth.select(col("url").as("url2"), col("truth_cluster").as("tc2"))
+    val labeled = scored.join(t1, "url1").join(t2, "url2")
+      .withColumn("is_dup", col("tc1") === col("tc2"))
+    labeled.agg(
+      sum(when(col("matches") && col("is_dup"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("matches") && !col("is_dup"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("matches") && col("is_dup"), 1L).otherwise(0L)).as("fn"),
+      count(lit(1)).as("n_pairs"))
+      .select(col("tp"), col("fp"), col("fn"), col("n_pairs"),
+        (col("tp") / (col("tp") + col("fp"))).as("precision"),
+        (col("tp") / (col("tp") + col("fn"))).as("recall"))
+      .withColumn("f1",
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+  }
+
+  /** Pairwise P/R/F1 against reference-style labeled pairs (url1, url2,
+    * label in {1,-1}) "at matched blocking keys": only labeled pairs that
+    * blocking surfaced are decided; unseen duplicate pairs count as FN
+    * (blocking misses must hurt recall, not silently vanish).
+    */
+  def labeledPairMetrics(scored: DataFrame, labeledPairs: DataFrame): DataFrame = {
+    val joined = labeledPairs.join(
+      scored.select(col("url1"), col("url2"), col("matches")),
+      Seq("url1", "url2"), "left")
+      .withColumn("pred", coalesce(col("matches"), lit(false)))
+      .withColumn("is_dup", col("label") === 1)
+    joined.agg(
+      sum(when(col("pred") && col("is_dup"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("is_dup"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("is_dup"), 1L).otherwise(0L)).as("fn"),
+      sum(when(col("matches").isNull && col("is_dup"), 1L).otherwise(0L)).as("dup_pairs_not_blocked"),
+      count(lit(1)).as("n_pairs"))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
+      .withColumn("recall", col("tp") / (col("tp") + col("fn")))
+      .withColumn("f1",
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+  }
+
+  /** Threshold calibration — replaces the reference's val_f1 model
+    * selection (idrt/train.py:257-262): sweep thresholds over the scored
+    * reference-style labeled pairs (url1, url2, label in {1,-1}), return
+    * (threshold, f1) ordered best-first.
+    */
+  def calibrate(scored: DataFrame, labeledPairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val labeled = labeledPairs
+      .join(scored.select(col("url1"), col("url2"), col("score")), Seq("url1", "url2"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0))) // unblocked pair -> never matched
+      .withColumn("is_dup", col("label") === 1)
+    val th = thresholds.map(t => struct(lit(t).as("t"))).toArray
+    labeled
+      .select(col("score"), col("is_dup"), explode(array(th: _*)).as("th"))
+      .select(col("th.t").as("threshold"), col("score"), col("is_dup"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("score") >= col("threshold") && col("is_dup"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold") && !col("is_dup"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold") && col("is_dup"), 1L).otherwise(0L)).as("fn"))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
+      .withColumn("recall", col("tp") / (col("tp") + col("fn")))
+      .withColumn("f1",
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+      .orderBy(col("f1").desc, col("threshold"))
+  }
+
+  // -------------------------------------------------------------------
+  // incremental semantics (I1/I2): stale-row selection via anti/left join
+  // -------------------------------------------------------------------
+
+  /** Rows of `input` that are new or updated vs `existing`
+    * (reference: idrt/algorithm/prepare_data.py:67-77).
+    */
+  def staleRows(input: DataFrame, existing: DataFrame, key: String, ts: String): DataFrame =
+    input.join(
+      existing.select(col(key), col(ts).as("_prev_ts")), Seq(key), "left")
+      .filter(col("_prev_ts").isNull || col(ts) > col("_prev_ts"))
+      .drop("_prev_ts")
+
+  // -------------------------------------------------------------------
+  // orchestration with checkpoint/resume
+  // -------------------------------------------------------------------
+
+  final case class Result(
+      normalized: DataFrame,
+      signatures: DataFrame,
+      candidates: DataFrame,
+      scored: DataFrame,
+      clusters: DataFrame)
+
+  /** Full run. With cfg.outRoot set, every stage goes through StageStore:
+    * a re-run with unchanged inputs/params reads stages back instead of
+    * recomputing (resume-from-checkpoint, north rule).
+    */
+  def run(spark: SparkSession, pages: DataFrame, cfg: Config): Result = {
+    val fp =
+      if (cfg.outRoot.isEmpty) ""
+      else StageStore.fingerprint(pages.select("url", "warc_ts"))
+    def stage(name: String, params: Map[String, String] = Map.empty)(df: => DataFrame): DataFrame =
+      if (cfg.outRoot.isEmpty) df
+      else StageStore.runStage(spark, cfg.outRoot, name, cfg.pipelineVersion, fp, params)(df)
+
+    val norm = stage("normalize")(normalize(extract(pages)))
+    val sigs = stage("signatures", Map("embedDim" -> cfg.embedDim.toString,
+      "lshBits" -> cfg.lshBits.toString, "lshTables" -> cfg.lshTables.toString)) {
+      signatures(norm, cfg)
+    }
+    val cands = stage("candidates", Map("maxBlock" -> cfg.maxBlock.toString,
+      "hotWindow" -> cfg.hotWindow.toString))(candidates(sigs, cfg))
+    val scored = stage("scores", Map("threshold" -> cfg.matchThreshold.toString)) {
+      scorePairs(cands, sigs, cfg)
+    }
+    val clustered = stage("clusters")(clusters(sigs, scored))
+    Result(norm, sigs, cands, scored, clustered)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpointed stage tables with per-partition lineage + metrics —
+  * the resume layer the north rule requires. The reference's analogue is
+  * the six SQL stage tables + uuid consistency guards
+  * (idrt/algorithm/utils.py:73-86, run_search.py:239-270); here every
+  * stage writes partitioned parquet plus a `manifest.json` recording the
+  * pipeline version, the inputs' fingerprints, the stage parameters and
+  * per-partition row counts/checksums. A re-run whose (version, inputs,
+  * params) fingerprint matches the manifest skips the stage and reads the
+  * parquet back — i.e. kill-at-stage-k resumes at k+1.
+  *
+  * This sandbox has no Iceberg runtime (SURVEY.md par.7.4); the manifest
+  * emulates the snapshot metadata an Iceberg table would carry, behind
+  * this one object so a real catalog can be slotted in.
+  */
+object StageStore {
+
+  final case class PartitionStat(partition: Int, rows: Long, checksum: Long)
+
+  final case class Manifest(
+      stage: String,
+      pipelineVersion: String,
+      inputsFingerprint: String,
+      params: Map[String, String],
+      rows: Long,
+      partitions: Seq[PartitionStat],
+      wallClockSec: Double,
+      writtenAtMs: Long)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def toJson(m: Manifest): String = {
+    val params = m.params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    val parts = m.partitions.sortBy(_.partition)
+      .map(p => s"""{"partition":${p.partition},"rows":${p.rows},"checksum":${p.checksum}}""")
+      .mkString("[", ",", "]")
+    s"""{"stage":"${esc(m.stage)}","pipeline_version":"${esc(m.pipelineVersion)}",""" +
+      s""""inputs_fingerprint":"${esc(m.inputsFingerprint)}","params":$params,""" +
+      s""""rows":${m.rows},"partitions":$parts,"wall_clock_sec":${m.wallClockSec},""" +
+      s""""written_at_ms":${m.writtenAtMs}}"""
+  }
+
+  /** Stable fingerprint of a DataFrame's content: order-insensitive sum of
+    * per-row 64-bit hashes over all columns. Used to fingerprint stage
+    * inputs for resume decisions. One extra pass over the input — callers
+    * fingerprint cheap identifiers (e.g. url + warc_ts), not whole rows.
+    */
+  def fingerprint(df: DataFrame): String = {
+    val row = df
+      .select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(bit_xor(col("h")).as("s"), count(lit(1)).as("n"))
+      .head()
+    val s = if (row.isNullAt(0)) 0L else row.getLong(0)
+    s"${java.lang.Long.toHexString(s)}-${row.getLong(1)}"
+  }
+
+  private def manifestPath(root: String, stage: String) =
+    Paths.get(root, stage, "manifest.json")
+
+  private def dataPath(root: String, stage: String) =
+    s"$root/$stage/data.parquet"
+
+  def readManifest(root: String, stage: String): Option[Manifest] = {
+    val p = manifestPath(root, stage)
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    // minimal field extraction (manifests are engine-written, schema-fixed)
+    def field(name: String): Option[String] = {
+      val m = ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(s)
+      m.map(_.group(1))
+    }
+    for {
+      st <- field("stage")
+      v <- field("pipeline_version")
+      f <- field("inputs_fingerprint")
+    } yield Manifest(st, v, f, Map.empty, 0L, Nil, 0.0,
+      "\"written_at_ms\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L))
+  }
+
+  /** A skipped stage must also match its parameters; params are folded
+    * into the stored fingerprint string.
+    */
+  private def fullFingerprint(inputsFp: String, params: Map[String, String]): String =
+    inputsFp + "|" + params.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  /** Run (or resume) one stage. `compute` is only invoked when the stored
+    * manifest does not match (version, inputs, params).
+    */
+  def runStage(
+      spark: SparkSession,
+      root: String,
+      stage: String,
+      pipelineVersion: String,
+      inputsFingerprint: String,
+      params: Map[String, String] = Map.empty)(compute: => DataFrame): DataFrame = {
+    val fp = fullFingerprint(inputsFingerprint, params)
+    readManifest(root, stage) match {
+      case Some(m) if m.pipelineVersion == pipelineVersion && m.inputsFingerprint == fp =>
+        spark.read.parquet(dataPath(root, stage))
+      case Some(m) if m.pipelineVersion != pipelineVersion =>
+        // model-consistency guard analogue (G2): refuse silent lineage mixing
+        throw new IllegalStateException(
+          s"stage '$stage' was written by pipeline version '${m.pipelineVersion}', " +
+            s"current is '$pipelineVersion'; clear $root/$stage to rebuild")
+      case _ =>
+        val t0 = System.nanoTime()
+        val out = compute
+        out.write.mode("overwrite").parquet(dataPath(root, stage))
+        val written = spark.read.parquet(dataPath(root, stage))
+        val stats = written
+          .groupBy(spark_partition_id().as("partition"))
+          .agg(count(lit(1)).as("rows"),
+            coalesce(bit_xor(xxhash64(written.columns.map(col): _*)), lit(0L)).as("checksum"))
+          .collect()
+          .map(r => PartitionStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+        val manifest = Manifest(
+          stage, pipelineVersion, fp, params,
+          stats.map(_.rows).sum, stats,
+          (System.nanoTime() - t0) / 1e9, System.currentTimeMillis())
+        val tmp = Paths.get(root, stage, "manifest.json.tmp")
+        Files.createDirectories(tmp.getParent)
+        Files.write(tmp, toJson(manifest).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, manifestPath(root, stage), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        spark.read.parquet(dataPath(root, stage))
+    }
+  }
+}

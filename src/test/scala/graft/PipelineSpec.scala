@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ErPipeline
+import graft.sources.WebPageGen
+
+/** End-to-end golden test (SURVEY.md par.5 item 3): seeded synthetic
+  * web-page corpus -> full pipeline -> byte-identical extraction, blocking
+  * recall, pairwise F1 >= 0.99 on reference-rule labeled pairs, and exact
+  * cluster assignments vs ground truth.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val N = 150L
+  private lazy val pages = WebPageGen.pages(spark, N).toDF.cache()
+  private lazy val cfg = ErPipeline.Config()
+  private lazy val result = {
+    val norm = ErPipeline.normalize(ErPipeline.extract(pages))
+    val sigs = ErPipeline.signatures(norm, cfg).cache()
+    val cands = ErPipeline.candidates(sigs, cfg)
+    val scored = ErPipeline.scorePairs(cands, sigs, cfg).cache()
+    val clustered = ErPipeline.clusters(sigs, scored)
+    (sigs, cands, scored, clustered)
+  }
+
+  test("generator is deterministic") {
+    val a = WebPageGen.labeledPage(42L, 7L, 1)
+    val b = WebPageGen.labeledPage(42L, 7L, 1)
+    assert(a === b.copy(html = a.html) && a.html.toSeq === b.html.toSeq)
+    assert(pages.count() === N * WebPageGen.Variants.size)
+  }
+
+  test("byte-identical extracted text per url (north-rule invariant)") {
+    val extracted = ErPipeline.extract(pages)
+    val mismatches = extracted.filter(col("text") =!= col("extracted_text")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("blocking recall: every labeled duplicate pair shares a block") {
+    val labeled = WebPageGen.labeledPairs(spark, N)
+    val dupPairs = labeled.filter(col("label") === 1)
+    val cands = result._2
+    val missed = dupPairs.join(cands, Seq("url1", "url2"), "left_anti").count()
+    assert(missed === 0L, s"$missed duplicate pairs not surfaced by blocking")
+  }
+
+  test("pairwise F1 >= 0.99 on labeled pairs at matched blocking keys") {
+    val labeled = WebPageGen.labeledPairs(spark, N)
+    val m = ErPipeline.labeledPairMetrics(result._3, labeled).head()
+    val f1 = m.getAs[Double]("f1")
+    info(s"tp=${m.getAs[Long]("tp")} fp=${m.getAs[Long]("fp")} " +
+      s"fn=${m.getAs[Long]("fn")} f1=$f1")
+    assert(f1 >= 0.99, s"F1 $f1 below target; metrics row: $m")
+  }
+
+  test("clusters exactly match ground-truth entities") {
+    val truth = WebPageGen.groundTruth(spark, N)
+    val got = result._4 // url, cluster_id
+    val joined = got.join(truth.select("url", "truth_cluster"), "url")
+    // a predicted cluster must map to exactly one truth cluster and back
+    val p2t = joined.groupBy("cluster_id")
+      .agg(countDistinct("truth_cluster").as("n")).filter(col("n") > 1).count()
+    val t2p = joined.groupBy("truth_cluster")
+      .agg(countDistinct("cluster_id").as("n")).filter(col("n") > 1).count()
+    assert(p2t === 0L, s"$p2t predicted clusters span multiple truth entities (merges)")
+    assert(t2p === 0L, s"$t2p truth entities split across predicted clusters")
+    assert(got.count() === pages.count())
+  }
+
+  test("threshold calibration finds a high-F1 plateau containing the default") {
+    val labeled = WebPageGen.labeledPairs(spark, N)
+    val cal = ErPipeline.calibrate(result._3, labeled, (5 to 90 by 5).map(_ / 100.0))
+    val best = cal.head()
+    info(s"best threshold=${best.getAs[Double]("threshold")} f1=${best.getAs[Double]("f1")}")
+    assert(best.getAs[Double]("f1") >= 0.99)
+    // the shipped default threshold must sit on the high-F1 plateau
+    val f1AtDefault = cal.filter(col("threshold") === cfg.matchThreshold)
+      .head().getAs[Double]("f1")
+    assert(f1AtDefault >= 0.99, s"default threshold f1=$f1AtDefault")
+  }
+
+  test("incremental staleRows picks exactly new/updated urls (I1)") {
+    import spark.implicits._
+    val prior = pages.select(col("url"), col("warc_ts")).limit(900)
+    val bumped = pages.limit(50)
+      .select(col("url"), (col("warc_ts") + expr("INTERVAL 1 DAY")).as("warc_ts"),
+        col("html"), col("text"), col("lang"))
+    val input = pages.join(bumped.select("url"), Seq("url"), "left_anti")
+      .unionByName(bumped.select(pages.columns.map(col): _*))
+    val stale = ErPipeline.staleRows(input, prior, "url", "warc_ts")
+    val expected = input.join(prior.withColumnRenamed("warc_ts", "prev"), Seq("url"), "left")
+      .filter(col("prev").isNull || col("warc_ts") > col("prev")).count()
+    assert(stale.count() === expected)
+    assert(stale.count() < input.count(), "incremental run must skip unchanged rows")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ErPipeline
+import graft.plans.StageStore
+import graft.sources.WebPageGen
+
+/** Checkpoint/resume semantics (SURVEY.md par.5 item 4): identical output
+  * after resume, stages skipped when manifests match, version guard (G2),
+  * recompute on changed input.
+  */
+class ResumeSpec extends SparkSpec {
+
+  private def tmpRoot(): String = {
+    val p = Files.createTempDirectory("graft-stages")
+    p.toString
+  }
+
+  private def rmrf(root: String): Unit = {
+    val p = Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  test("stage is computed once, then read back from checkpoint") {
+    val root = tmpRoot()
+    try {
+      var computeCount = 0
+      def once(): org.apache.spark.sql.DataFrame = {
+        computeCount += 1
+        spark.range(100).toDF("id").withColumn("v", col("id") * 2)
+      }
+      val a = StageStore.runStage(spark, root, "s1", "v1", "fp-A")(once())
+      assert(computeCount === 1 && a.count() === 100)
+      val b = StageStore.runStage(spark, root, "s1", "v1", "fp-A")(once())
+      assert(computeCount === 1, "matching manifest must skip recompute")
+      assert(b.count() === 100)
+      // changed input fingerprint -> recompute
+      StageStore.runStage(spark, root, "s1", "v1", "fp-B")(once())
+      assert(computeCount === 2)
+      // changed params -> recompute
+      StageStore.runStage(spark, root, "s1", "v1", "fp-B", Map("k" -> "1"))(once())
+      assert(computeCount === 3)
+    } finally rmrf(root)
+  }
+
+  test("manifest carries per-partition lineage stats") {
+    val root = tmpRoot()
+    try {
+      StageStore.runStage(spark, root, "s2", "v1", "fp") {
+        spark.range(1000).toDF("id").repartition(4)
+      }
+      val json = new String(Files.readAllBytes(Paths.get(root, "s2", "manifest.json")))
+      assert(json.contains("\"rows\":1000"))
+      assert(json.contains("\"partitions\":["))
+      assert(json.contains("\"checksum\":"))
+      assert(json.contains("\"pipeline_version\":\"v1\""))
+    } finally rmrf(root)
+  }
+
+  test("pipeline-version mismatch refuses to reuse stale stages (G2 guard)") {
+    val root = tmpRoot()
+    try {
+      StageStore.runStage(spark, root, "s3", "v1", "fp")(spark.range(5).toDF("id"))
+      val e = intercept[IllegalStateException] {
+        StageStore.runStage(spark, root, "s3", "v2", "fp")(spark.range(5).toDF("id"))
+      }
+      assert(e.getMessage.contains("pipeline version"))
+    } finally rmrf(root)
+  }
+
+  test("full pipeline run resumes mid-pipeline with identical final output") {
+    val root = tmpRoot()
+    try {
+      val pages = WebPageGen.pages(spark, 40L).toDF
+      val cfg = ErPipeline.Config(outRoot = root)
+      val first = ErPipeline.run(spark, pages, cfg)
+      val firstClusters = first.clusters.collect().map(r => (r.getString(0), r.getString(1))).sorted
+
+      // simulate kill-after-stage-k: drop the two final stage outputs
+      rmrf(s"$root/scores"); rmrf(s"$root/clusters")
+      val second = ErPipeline.run(spark, pages, cfg)
+      val secondClusters = second.clusters.collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(firstClusters === secondClusters)
+
+      // third run with nothing deleted: all stages skipped -> manifests byte-stable
+      val m1 = Files.readAllBytes(Paths.get(root, "normalize", "manifest.json"))
+      ErPipeline.run(spark, pages, cfg)
+      val m2 = Files.readAllBytes(Paths.get(root, "normalize", "manifest.json"))
+      assert(m1.toSeq === m2.toSeq, "skipped stage must not rewrite its manifest")
+    } finally rmrf(root)
+  }
+}
