@@ -140,6 +140,33 @@ case class RhpKey(child: Expression, bits: Int, seed: Long)
   override def prettyName: String = "rhp_key"
 }
 
+/** minhash_sig(str, k, shingleWidth) -> array<long> signature. */
+case class MinHashSig(child: Expression, k: Int, shingleWidth: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.minhashSig(v.asInstanceOf[UTF8String], k, shingleWidth)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftKernels.minhashSig($c, $k, $shingleWidth)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** rolling_minhash(str, width) -> long: min of rolling char-shingle
+  * hashes (1-perm MinHash fingerprint).
+  */
+case class RollingMinHash(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.rollingMinHash(v.asInstanceOf[UTF8String], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.rollingMinHash($c, $width)")
+  override protected def withNewChildInternal(c: Expression): RollingMinHash = copy(child = c)
+  override def prettyName: String = "rolling_minhash"
+}
+
 /** Column-level API for the custom expressions + composed similarity fns. */
 object Similarity {
   import org.apache.spark.sql.functions._
@@ -161,6 +188,9 @@ object Similarity {
 
   def rhpKey(c: Column, bits: Int, seed: Long): Column =
     GraftBridge.column(RhpKey(GraftBridge.expression(c), bits, seed))
+
+  def minHashSig(c: Column, k: Int, shingleWidth: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), k, shingleWidth))
 
   /** Annoy angular distance -> cosine similarity, (2 - d^2)/2
     * (reference: idrt/algorithm/run_search.py:159-161).

@@ -274,6 +274,55 @@ object GraftKernels {
     key
   }
 
+  /** MinHash signature over word w-shingles: k independent min-hashes
+    * (seeded splitmix64 remixes of each shingle's base hash). Returns a
+    * long[k] signature. Distributed LSH banding happens on top of this in
+    * operators.Dedup (band keys -> equi self-join) — the classic
+    * shingle -> minhash -> band -> bucket-join near-dup pipeline.
+    */
+  def minhashSig(s: UTF8String, k: Int, shingleWidth: Int): ArrayData = {
+    val words = splitWords(s.toString)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (words.isEmpty) return new GenericArrayData(sig)
+    val nSh = math.max(1, words.length - shingleWidth + 1)
+    var i = 0
+    while (i < nSh) {
+      var base = 1469598103934665603L
+      var j = i
+      val end = math.min(words.length, i + shingleWidth)
+      while (j < end) {
+        val w = words(j)
+        var c = 0
+        while (c < w.length) { base = 31 * base + w.charAt(c); c += 1 }
+        base = base * 1099511628211L + 0x20
+        j += 1
+      }
+      var t = 0
+      while (t < k) {
+        val h = mix64(base ^ (t * -6148914691236517205L + 1442695040888963407L))
+        if (h < sig(t)) sig(t) = h
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  private def splitWords(s: String): Array[String] = {
+    if (s.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) out += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Polynomial rolling-hash document fingerprint over char shingles of
     * width w: min of the rolling window hashes (a 1-perm MinHash); used as
     * a cheap near-dup fingerprint.

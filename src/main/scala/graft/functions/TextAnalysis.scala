@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (marker-word heuristic), quality scoring (length/punct/stopword
+  * ratios), token counting (whitespace + regex), document fingerprinting.
+  * All pure Catalyst built-ins over the canonicalized text — no UDFs, so
+  * everything stays in whole-stage codegen and is ANSI-SQL-expressible
+  * (each has a DuckDB-oracle twin in queries.Catalog).
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = split(Normalize.canonicalText(text), " ")
+
+  private def countWord(ws: Column, w: String): Column =
+    size(filter(ws, x => x === lit(w)))
+
+  /** Marker-word language scores. The marker lists are fixed constants —
+    * a real corpus would use per-language stopword tables; the mechanism
+    * (count markers per language, argmax with deterministic tie order) is
+    * the production shape.
+    */
+  val EnMarkers = Seq("the", "a", "value", "row")
+  val EsMarkers = Seq("data", "table", "part")
+  val DeMarkers = Seq("window", "group", "batch")
+
+  def langScores(text: Column): (Column, Column, Column) = {
+    val ws = words(text)
+    (EnMarkers.map(countWord(ws, _)).reduce(_ + _),
+      EsMarkers.map(countWord(ws, _)).reduce(_ + _),
+      DeMarkers.map(countWord(ws, _)).reduce(_ + _))
+  }
+
+  /** argmax(en, es, de) with ties resolved in that fixed order. */
+  def langId(text: Column): Column = {
+    val (en, es, de) = langScores(text)
+    when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality features + a composite score in [0,1]:
+    * word count, mean word length, stopword ratio, punctuation ratio.
+    */
+  def wordCount(text: Column): Column = {
+    val c = Normalize.canonicalText(text)
+    when(length(c) === 0, lit(0)).otherwise(size(split(c, " ")))
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) === 0 || (size(ws) === 1 && element_at(ws, 1) === ""), lit(0.0))
+      .otherwise(
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    val stops = Stopwords.map(countWord(ws, _)).reduce(_ + _)
+    when(size(ws) === 0, lit(0.0)).otherwise(stops.cast("double") / size(ws))
+  }
+
+  def punctRatio(text: Column): Column = {
+    val t = Normalize.emptyIfNull(text)
+    when(length(t) === 0, lit(0.0)).otherwise(
+      (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("double") / length(t))
+  }
+
+  /** Composite quality score: long-enough docs with natural stopword rates
+    * and low punctuation score high. Weights are fixed heuristics.
+    */
+  def qualityScore(text: Column): Column = {
+    val wc = wordCount(text).cast("double")
+    val lenScore = least(wc / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
+    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * punctPenalty, 4)
+  }
+
+  /** BPE-ish token estimate: alphanumeric runs + each punctuation char
+    * counts as one token (regexp over the raw text).
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(Normalize.emptyIfNull(text), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"))
+
+  def whitespaceTokenCount(text: Column): Column = wordCount(text)
+
+  /** Content fingerprint: md5 of the canonical text (exact-dedup key,
+    * join-stable across engines).
+    */
+  def docFingerprint(text: Column): Column = md5(Normalize.canonicalText(text))
+
+  /** Rolling-hash fingerprint (1-perm MinHash over char shingles) — cheap
+    * near-dup prefilter (custom kernel, codegen'd).
+    */
+  def rollingFingerprint(text: Column, width: Int = 8): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      RollingMinHash(org.apache.spark.sql.GraftBridge.expression(
+        Normalize.canonicalText(text)), width))
+}

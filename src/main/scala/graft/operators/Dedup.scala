@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Normalize, Similarity}
+
+/** Training-data-pipeline deduplication operators: exact, word-shingle
+  * Jaccard, MinHash+LSH, SimHash, embedding near-dup. Each is a
+  * declarative plan (scan -> signature projection -> equi self-join on a
+  * bucket key -> verify) — the shuffles are keyed by signature buckets, so
+  * at 100 TB the cost is O(candidates), never O(n^2).
+  */
+object Dedup {
+
+  /** Canonicalized content fingerprint for exact dedup (md5 over
+    * lowercased, whitespace-collapsed text).
+    */
+  def fingerprint(text: Column): Column = md5(Normalize.canonicalText(text))
+
+  /** Exact dedup: one row per distinct content hash with group size and
+    * the surviving (minimum) id.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingle set of a text column (distinct, order-free). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    val idx = sequence(lit(1), greatest(size(w) - (n - 1), lit(0)))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array(array_join(w, " "))))
+  }
+
+  /** Set Jaccard over two shingle arrays — exact int/int division, so it
+    * reproduces identically in any engine (oracle-safe).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Near-dup pairs by exact shingle Jaccard within a block column —
+    * the brute-force verifier (quadratic in block size; callers bound the
+    * block). For unblocked scale use minHashPairs.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    val base = df.select((blockCols.map(col) :+ col(idCol) :+
+      shingles(Normalize.canonicalText(col(textCol)), n).as("sh")): _*)
+    val lhs = base.select((blockCols.map(col) :+ col(idCol).as("id1") :+ col("sh").as("sh1")): _*)
+    val rhs = base.select((blockCols.map(col) :+ col(idCol).as("id2") :+ col("sh").as("sh2")): _*)
+    lhs.join(rhs, blockCols)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(jaccard(col("sh1"), col("sh2")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash+LSH near-dup detection: signature -> band keys -> bucket
+    * equi-join -> exact-Jaccard verification. k = bands * rowsPerBand.
+    * Collision probability for Jaccard j is 1-(1-j^r)^b — tune (b, r) to
+    * the target threshold. The bucket join is the only shuffle and its
+    * fan-out is bounded by bucket sizes, not n^2.
+    */
+  def minHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 32, rowsPerBand: Int = 3, shingleWidth: Int = 3,
+      verifyThreshold: Double = 0.6): DataFrame = {
+    val k = bands * rowsPerBand
+    val canon = Normalize.canonicalText(col(textCol))
+    val sigd = df.select(
+      col(idCol),
+      Similarity.minHashSig(canon, k, shingleWidth).as("sig"),
+      shingles(canon, shingleWidth).as("sh"))
+    val banded = sigd.select(
+      col(idCol), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("sh"), col("bk.band"), col("bk.bkey"))
+    val lhs = banded.select(col("band"), col("bkey"), col(idCol).as("id1"), col("sh").as("sh1"))
+    val rhs = banded.select(col("band"), col("bkey"), col(idCol).as("id2"), col("sh").as("sh2"))
+    lhs.join(rhs, Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+      .groupBy("id1", "id2").agg(first("sh1").as("sh1"), first("sh2").as("sh2"))
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("sh1"), col("sh2")), 4).as("jac"))
+      .filter(col("jac") >= verifyThreshold)
+  }
+
+  /** SimHash near-dup detection: 64-bit word simhash, bucketed by its
+    * eight 8-bit chunks (pigeonhole: hamming <= 7 guarantees at least one
+    * chunk collides), verified by exact hamming distance.
+    */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    val sigd = df.select(col(idCol),
+      Similarity.simHash64(Normalize.canonicalText(col(textCol))).as("sh64"))
+    val chunked = sigd.select(
+      col(idCol), col("sh64"),
+      explode(array((0 until 8).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh64"), c * 8).bitwiseAND(lit(255L)).as("ckey"))
+      }: _*)).as("ck"))
+      .select(col(idCol), col("sh64"), col("ck.chunk"), col("ck.ckey"))
+    val lhs = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id1"), col("sh64").as("h1"))
+    val rhs = chunked.select(col("chunk"), col("ckey"), col(idCol).as("id2"), col("sh64").as("h2"))
+    lhs.join(rhs, Seq("chunk", "ckey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id1", "id2").agg(min("hamming").as("hamming"))
+  }
+
+  /** Embedding near-dup: cosine >= threshold pairs. Blocked variant —
+    * callers pass block columns (or use Ann.lsh buckets) to avoid n^2.
+    */
+  def embeddingPairs(
+      df: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val lhs = df.select(col(idCol).as("id1"), col(embCol).as("e1"))
+    val rhs = df.select(col(idCol).as("id2"), col(embCol).as("e2"))
+    lhs.crossJoin(rhs)
+      .filter(col("id1") < col("id2"))
+      .filter(Similarity.cosineSim(col("e1").cast("array<double>"),
+        col("e2").cast("array<double>")) >= threshold)
+      .select("id1", "id2")
+  }
+}

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{Normalize, Similarity}
+import graft.functions.{Normalize, Similarity, TextAnalysis}
+import graft.operators.{Ann, Dedup}
 
 /** The driver-facing query catalog: every implemented operator from
   * SURVEY.md par.2 is exposed as a named query over the /root/testdata
@@ -301,6 +302,423 @@ object Catalog {
       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ER: scoring, top-k, incremental recompare, metrics, clustering
+  // ---------------------------------------------------------------------
+
+  /** J2+M2: pair scoring inside blocks — JW + normalized Levenshtein on
+    * customer names, blocked by (nation, segment).
+    */
+  val erScores: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
+    val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("k2"), col("c_name").as("n2"))
+    a.join(b, Seq("c_nationkey", "c_mktsegment"))
+      .filter(col("k1") < col("k2"))
+      .select(col("k1"), col("k2"),
+        round(Similarity.jaroWinkler(col("n1"), col("n2")), 4).as("jw"),
+        levenshtein(col("n1"), col("n2")).as("lev"))
+  }
+
+  val erScoresSql: String =
+    """SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+      |  round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw,
+      |  levenshtein(a.c_name, b.c_name) AS lev
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+      |  AND a.c_custkey < b.c_custkey""".stripMargin
+
+  /** O4: per-record top-k nearest candidates (the reference's n_closest
+    * cap, run_search.py:148-150) — top-3 by rounded JW, id tiebreak.
+    */
+  val erTopkCandidates: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val a = c.select(col("c_nationkey"), col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_nationkey"), col("c_custkey").as("k2"), col("c_name").as("n2"))
+    val scored = a.join(b, Seq("c_nationkey"))
+      .filter(col("k1") =!= col("k2"))
+      .select(col("k1"), col("k2"),
+        round(Similarity.jaroWinkler(col("n1"), col("n2")), 4).as("jw"))
+    val w = Window.partitionBy("k1").orderBy(col("jw").desc, col("k2"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("k1", "k2", "jw", "rk")
+  }
+
+  val erTopkCandidatesSql: String =
+    """SELECT k1, k2, jw, rk FROM (
+      |  SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+      |    round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw,
+      |    ROW_NUMBER() OVER (PARTITION BY a.c_custkey
+      |      ORDER BY round(jaro_winkler_similarity(a.c_name, b.c_name), 4) DESC,
+      |               b.c_custkey) AS rk
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey)
+      |WHERE rk <= 3""".stripMargin
+
+  /** P7/J4/I2: pair-level re-comparison predicate — pairs unseen or with
+    * either side updated since comparison_ts
+    * (reference: idrt/algorithm/run_search.py:416-434).
+    */
+  val erRecompare: Q = (s, dir) => {
+    val ev = t(s, dir, "events").filter(col("event_id") % 37 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val a = ev.select(col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"))
+    val b = ev.select(col("user_id"), col("event_id").as("id2"), col("ts").as("ts2"))
+    val pairs = a.join(b, Seq("user_id")).filter(col("id1") < col("id2"))
+    val prior = pairs.filter((col("id1") + col("id2")) % 3 === 0)
+      .select(col("id1").as("p1"), col("id2").as("p2"),
+        when(col("user_id") < 50,
+          greatest(col("ts1"), col("ts2")) + expr("INTERVAL 1 HOUR"))
+          .otherwise(greatest(col("ts1"), col("ts2")) - expr("INTERVAL 1 HOUR"))
+          .as("comparison_ts"))
+    pairs.join(prior, col("id1") === col("p1") && col("id2") === col("p2"), "left")
+      .filter(col("p1").isNull || col("ts1") > col("comparison_ts")
+        || col("ts2") > col("comparison_ts"))
+      .select("id1", "id2", "user_id")
+  }
+
+  val erRecompareSql: String =
+    """WITH ev AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 37 = 0),
+      |pairs AS (
+      |  SELECT a.user_id, a.event_id AS id1, b.event_id AS id2, a.ts AS ts1, b.ts AS ts2
+      |  FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_id < b.event_id),
+      |prior AS (
+      |  SELECT id1 AS p1, id2 AS p2,
+      |    CASE WHEN user_id < 50 THEN greatest(ts1, ts2) + INTERVAL 1 HOUR
+      |         ELSE greatest(ts1, ts2) - INTERVAL 1 HOUR END AS comparison_ts
+      |  FROM pairs WHERE (id1 + id2) % 3 = 0)
+      |SELECT id1, id2, user_id FROM pairs p
+      |LEFT JOIN prior q ON p.id1 = q.p1 AND p.id2 = q.p2
+      |WHERE q.p1 IS NULL OR p.ts1 > q.comparison_ts OR p.ts2 > q.comparison_ts""".stripMargin
+
+  /** A6: confusion-matrix / precision-recall-F1 aggregation over a
+    * predictions table (pred = rounded JW >= 0.94, label = lev <= 1).
+    */
+  val erF1Metrics: Q = (s, dir) => {
+    val scored = erScores(s, dir)
+      .withColumn("pred", col("jw") >= 0.94)
+      .withColumn("is_dup", col("lev") <= 1)
+    scored.agg(
+      sum(when(col("pred") && col("is_dup"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("is_dup"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("is_dup"), 1L).otherwise(0L)).as("fn"),
+      count(lit(1)).as("n"))
+      .select(col("tp"), col("fp"), col("fn"), col("n"),
+        round(col("tp") / (col("tp") + col("fp")), 4).as("precision"),
+        round(col("tp") / (col("tp") + col("fn")), 4).as("recall"))
+  }
+
+  val erF1MetricsSql: String =
+    """WITH scored AS (
+      |  SELECT round(jaro_winkler_similarity(a.c_name, b.c_name), 4) >= 0.94 AS pred,
+      |         levenshtein(a.c_name, b.c_name) <= 1 AS is_dup
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+      |    AND a.c_custkey < b.c_custkey)
+      |SELECT tp, fp, fn, n,
+      |  round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision,
+      |  round(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall
+      |FROM (SELECT
+      |  sum(CASE WHEN pred AND is_dup THEN 1 ELSE 0 END) AS tp,
+      |  sum(CASE WHEN pred AND NOT is_dup THEN 1 ELSE 0 END) AS fp,
+      |  sum(CASE WHEN NOT pred AND is_dup THEN 1 ELSE 0 END) AS fn,
+      |  count(*) AS n FROM scored)""".stripMargin
+
+  /** Transitive clustering (north rule): connected components over
+    * name-similarity edges, cluster id = min member key. The oracle is a
+    * DuckDB recursive CTE propagating the component minimum.
+    */
+  val erClusters: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val a = c.select(col("c_nationkey"), col("c_custkey").as("u"), col("c_name").as("n1"))
+    val b = c.select(col("c_nationkey"), col("c_custkey").as("v"), col("c_name").as("n2"))
+    val edges = a.join(b, Seq("c_nationkey"))
+      .filter(col("u") < col("v") && levenshtein(col("n1"), col("n2")) <= 1)
+      .select("u", "v")
+    graft.operators.Clustering.clusterAll(c, "c_custkey", edges, "u", "v")
+  }
+
+  val erClustersSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT a.c_custkey AS u, b.c_custkey AS v FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1),
+      |bidir AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+      |walk(node, comp) AS (
+      |  SELECT c_custkey, c_custkey FROM customer
+      |  UNION
+      |  SELECT b.u AS node, w.comp FROM walk w JOIN bidir b ON w.node = b.v
+      |  WHERE w.comp < b.u)
+      |SELECT node AS c_custkey, min(comp) AS cluster_id FROM walk GROUP BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Dedup family over documents
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup via canonical-content fingerprint. */
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+
+  val dedupExactSql: String =
+    """SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fingerprint,
+      |  min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Word-3-gram shingle Jaccard near-dups within (lang, source) blocks. */
+  val dedupNgramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Seq("lang", "source"), 3, 0.5)
+      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"), col("jac"))
+
+  val dedupNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN list_transform(generate_series(1, len(w) - 2),
+      |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, lang, source,
+      |          string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS w
+      |        FROM documents))
+      |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""".stripMargin
+
+  /** Documents plus planted near-duplicates (first 90% of words, id +
+    * 100000) — the corpus for MinHash/SimHash detection queries.
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val truncated = d.select(
+      (col("doc_id") + 100000).as("doc_id"), col("lang"), col("source"),
+      array_join(slice(w, lit(1), greatest(lit(3), floor(size(w) * 0.9).cast("int"))), " ").as("text"))
+    d.select("doc_id", "lang", "source", "text").unionByName(truncated)
+  }
+
+  /** MinHash+LSH near-dup pipeline (shingle -> minhash -> band -> bucket
+    * join -> exact-Jaccard verify >= 0.6). Oracle: brute-force shingle
+    * Jaccard over the same planted corpus.
+    */
+  val dedupMinhashLsh: Q = (s, dir) =>
+    Dedup.minHashPairs(plantedDocs(s, dir), "doc_id", "text",
+      bands = 32, rowsPerBand = 3, shingleWidth = 3, verifyThreshold = 0.6)
+      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"), col("jac"))
+
+  val dedupMinhashLshSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, lang, source,
+      |    array_to_string((string_split(text, ' '))[1:greatest(3,
+      |      CAST(floor(0.9 * len(string_split(text, ' '))) AS INT))], ' ') AS text
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN list_transform(generate_series(1, len(w) - 2),
+      |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS w
+      |        FROM aug))
+      |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6""".stripMargin
+
+  /** SimHash near-dups (64-bit, 8x8-bit chunk buckets, hamming <= 7).
+    * No SQL-expressible oracle (custom hash) — rows-only check; the
+    * operator is covered by DedupSpec instead.
+    */
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simHashPairs(plantedDocs(s, dir), "doc_id", "text", maxHamming = 7)
+      .select(col("id1").as("doc_id1"), col("id2").as("doc_id2"), col("hamming"))
+
+  /** Embedding near-dup pairs: cosine >= 0.4 (double-accumulated). */
+  val dedupEmbedding: Q = (s, dir) =>
+    Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      .select(col("id1").as("vec_id1"), col("id2").as("vec_id2"))
+
+  val dedupEmbeddingSql: String =
+    """SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Similarity search (ANN)
+  // ---------------------------------------------------------------------
+
+  /** Brute-force cosine top-5 for the first 20 vectors (exact baseline;
+    * broadcast queries, single corpus scan).
+    */
+  val annBruteforceTopk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", 5)
+  }
+
+  val annBruteforceTopkSql: String =
+    """SELECT query_id, neighbor_id, rk FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rk
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 20)
+      |WHERE rk <= 5""".stripMargin
+
+  /** LSH-bucketed ANN self-check: recall vs the exact baseline (no SQL
+    * oracle — custom hash; rows-only).
+    */
+  val annLshRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Ann.lshRecall(e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", 5,
+      bits = 4, tables = 8)
+  }
+
+  // ---------------------------------------------------------------------
+  // Text analysis over documents
+  // ---------------------------------------------------------------------
+
+  val textLangid: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+
+  val textLangidSql: String = {
+    def cnt(w: String) = s"len(list_filter(ws, x -> x = '$w'))"
+    val en = TextAnalysis.EnMarkers.map(cnt).mkString(" + ")
+    val es = TextAnalysis.EsMarkers.map(cnt).mkString(" + ")
+    val de = TextAnalysis.DeMarkers.map(cnt).mkString(" + ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS ws
+       |        FROM documents))
+       |SELECT doc_id,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+       |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+       |FROM sc""".stripMargin
+  }
+
+  val textQuality: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("wc"),
+      round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_wl"),
+      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
+      round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  val textQualitySql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    """WITH c AS (
+      |  SELECT doc_id, coalesce(text, '') AS raw,
+      |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, raw, canon,
+      |    CASE WHEN length(canon) = 0 THEN 0 ELSE len(string_split(canon, ' ')) END AS wc,
+      |    string_split(canon, ' ') AS ws
+      |  FROM c)
+      |SELECT doc_id, wc,
+      |  round(CASE WHEN wc = 0 OR (wc = 1 AND ws[1] = '') THEN 0.0
+      |    ELSE CAST(length(canon) - (wc - 1) AS DOUBLE) / wc END, 4) AS mean_wl,
+      |  round(CASE WHEN wc = 0 THEN 0.0
+      |    ELSE CAST(len(list_filter(ws, x -> x IN (STOPS))) AS DOUBLE) / wc END, 4) AS stop_ratio,
+      |  round(CASE WHEN length(raw) = 0 THEN 0.0
+      |    ELSE CAST(length(raw) - length(regexp_replace(raw, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |         / length(raw) END, 4) AS punct_ratio,
+      |  round(0.4 * least(CAST(wc AS DOUBLE) / 100.0, 1.0)
+      |    + 0.3 * least((CASE WHEN wc = 0 THEN 0.0
+      |        ELSE CAST(len(list_filter(ws, x -> x IN (STOPS))) AS DOUBLE) / wc END) * 5.0, 1.0)
+      |    + 0.3 * greatest(1.0 - (CASE WHEN length(raw) = 0 THEN 0.0
+      |        ELSE CAST(length(raw) - length(regexp_replace(raw, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |             / length(raw) END) * 4.0, 0.0), 4) AS quality
+      |FROM f""".stripMargin.replace("STOPS", stops)
+  }
+
+  val textTokens: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) = 0
+      |    THEN 0
+      |    ELSE len(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')) END AS ws_tokens,
+      |  len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+      |FROM documents""".stripMargin
+
+  val textFingerprint: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"), TextAnalysis.docFingerprint(col("text")).as("fp"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Multimodal: opaque binary columns with typed metadata (decode stubbed)
+  // ---------------------------------------------------------------------
+
+  /** Binary-column plumbing: payload bytes + content hash (schema shape of
+    * an image/audio table; the decode stage is Multimodal.decodeStub).
+    */
+  val mmBinaryMeta: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(encode(col("text"), "UTF-8")).as("n_bytes"),
+      md5(col("text")).as("content_md5"))
+
+  val mmBinaryMetaSql: String =
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5 FROM documents"
+
+  // ---------------------------------------------------------------------
+  // Structured Streaming (batch-equivalence oracles)
+  // ---------------------------------------------------------------------
+
+  /** Tumbling-window streaming aggregation driven to completion with
+    * Trigger.AvailableNow; oracle = the batch equivalent via time_bucket.
+    */
+  val streamWindowedAgg: Q = (s, dir) =>
+    graft.streaming.StreamingOps.windowedEventAgg(s, s"$dir/events.parquet")
+
+  val streamWindowedAggSql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Stateful sessionization via session_window (10-minute gap). */
+  val streamSessionize: Q = (s, dir) =>
+    graft.streaming.StreamingOps.sessionize(s, s"$dir/events.parquet", 10)
+
+  val streamSessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+      |  round(sum(value), 2) AS session_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -319,6 +737,25 @@ object Catalog {
     "er_validity_split" -> erValiditySplit,
     "er_pair_canonical" -> erPairCanonical,
     "er_blocking_pairs" -> erBlockingPairs,
+    "er_scores" -> erScores,
+    "er_topk_candidates" -> erTopkCandidates,
+    "er_recompare" -> erRecompare,
+    "er_f1_metrics" -> erF1Metrics,
+    "er_clusters" -> erClusters,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "ann_bruteforce_topk" -> annBruteforceTopk,
+    "ann_lsh_recall" -> annLshRecall,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "mm_binary_meta" -> mmBinaryMeta,
+    "stream_windowed_agg" -> streamWindowedAgg,
+    "stream_sessionize" -> streamSessionize,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,5 +773,22 @@ object Catalog {
     "er_validity_split" -> erValiditySplitSql,
     "er_pair_canonical" -> erPairCanonicalSql,
     "er_blocking_pairs" -> erBlockingPairsSql,
+    "er_scores" -> erScoresSql,
+    "er_topk_candidates" -> erTopkCandidatesSql,
+    "er_recompare" -> erRecompareSql,
+    "er_f1_metrics" -> erF1MetricsSql,
+    "er_clusters" -> erClustersSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "ann_bruteforce_topk" -> annBruteforceTopkSql,
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "stream_windowed_agg" -> streamWindowedAggSql,
+    "stream_sessionize" -> streamSessionizeSql,
   )
 }

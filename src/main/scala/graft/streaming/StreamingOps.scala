@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming operators. The reference has no true streaming
+  * (SURVEY.md par.2.10) — its incrementality is batch + timestamps; here the
+  * same event-time semantics run as a real stream: file source ->
+  * watermark -> windowed aggregation -> sink, with Trigger.AvailableNow
+  * so a parquet snapshot drives the stream to completion synchronously
+  * (the batch-equivalence oracle checks the result).
+  */
+object StreamingOps {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Hourly tumbling-window counts/sums per event_type over the events
+    * table, executed as a stream. Returns the final result table.
+    */
+  /** Streaming file sources need a directory: point at the parent with a
+    * glob filter when given a single parquet file.
+    */
+  private def streamParquet(spark: SparkSession, path: String) = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    if (f.isFile || path.endsWith(".parquet"))
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else spark.readStream.schema(schema).parquet(path)
+  }
+
+  def windowedEventAgg(spark: SparkSession, eventsParquet: String): DataFrame = {
+    val stream0 = streamParquet(spark, eventsParquet)
+    val stream = stream0
+      // file timestamps are NTZ; event-time ops need instant semantics
+      // (session tz is pinned to UTC so the cast is value-preserving)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val name = s"graft_stream_out_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select(
+      col("window.start").cast("timestamp_ntz").as("window_start"),
+      col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Stateful per-user sessionization via flatMapGroupsWithState-style
+    * semantics, expressed with the declarative session_window — gaps over
+    * `gapMinutes` start a new session.
+    */
+  def sessionize(spark: SparkSession, eventsParquet: String, gapMinutes: Int): DataFrame = {
+    val stream = streamParquet(spark, eventsParquet)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+    val name = s"graft_stream_sess_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select(
+      col("session_window.start").cast("timestamp_ntz").as("session_start"),
+      col("user_id"), col("n_events"), col("session_value"))
+  }
+}

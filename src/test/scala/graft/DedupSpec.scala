@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/** Dedup family: exact, shingle-Jaccard, MinHash+LSH recall/precision,
+  * SimHash, embedding near-dup; plus ANN and the multimodal stub plumbing.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    // base docs + exact dup + near dup + unrelated
+    val base = (0L until 40L).map { i =>
+      val words = (0 until 50).map(j => s"w${(i * 31 + j * 7) % 97}")
+      (i, words.mkString(" "))
+    }
+    val exact = base.take(10).map { case (i, t) => (i + 1000L, t) }
+    val near = base.take(20).map { case (i, t) =>
+      (i + 2000L, t.split(" ").dropRight(4).mkString(" "))
+    }
+    (base ++ exact ++ near).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical canonical content") {
+    val groups = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(groups.filter($"n_dups" === 2).count() === 10)
+    assert(groups.agg(sum("n_dups")).head().getLong(0) === docs.count())
+    // keep_id is the minimum member
+    assert(groups.filter($"n_dups" === 2).filter($"keep_id" >= 1000).count() === 0)
+  }
+
+  test("minhash LSH finds all near-dups found by brute-force jaccard") {
+    val brute = docs.withColumn("b", lit(1))
+      .select($"doc_id".as("id1"), $"text".as("t1"), $"b")
+      .join(docs.select($"doc_id".as("id2"), $"text".as("t2"), lit(1).as("b")), Seq("b"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2",
+        Dedup.jaccard(Dedup.shingles(lower($"t1"), 3), Dedup.shingles(lower($"t2"), 3)).as("jac"))
+      .filter($"jac" >= 0.6)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = Dedup.minHashPairs(docs, "doc_id", "text", verifyThreshold = 0.6)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(brute.subsetOf(lsh) && lsh.subsetOf(brute),
+      s"missed=${brute -- lsh} extra=${lsh -- brute}")
+    assert(brute.size >= 30, s"expected the planted dups, got ${brute.size}")
+  }
+
+  test("simhash buckets catch exact and near dups, verified by hamming") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups have hamming 0 and must all be found
+    (0L until 10L).foreach { i =>
+      assert(pairs.contains((i, i + 1000L)), s"exact dup $i missing")
+    }
+  }
+
+  test("embedding near-dup pairs at threshold") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("ann brute-force top-k is exact and deterministic") {
+    val e = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val topk = Ann.bruteForceTopK(e.filter($"vec_id" < 5), e, "vec_id", "vec_id", "embedding", 3)
+    assert(topk.count() === 15)
+    assert(topk.filter($"query_id" === $"neighbor_id").count() === 0)
+    val again = Ann.bruteForceTopK(e.filter($"vec_id" < 5), e, "vec_id", "vec_id", "embedding", 3)
+    assert(topk.collect().toSet === again.collect().toSet)
+  }
+
+  test("ann LSH recall is high on genuinely clustered vectors") {
+    // 20 centers x 10 members with small perturbations: true neighbors
+    // have cosine ~0.99, where random-hyperplane buckets must find them
+    import graft.functions.GraftKernels.mix64
+    val e = (0L until 200L).map { i =>
+      val c = (i % 20).toInt
+      val base = Array.tabulate(16)(d => math.sin(c * 2.1 + d * 0.9))
+      val v = base.zipWithIndex.map { case (x, d) =>
+        (x + 1e-2 * (mix64(i * 16 + d).toDouble / Long.MaxValue)).toFloat }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val recall = Ann.lshRecall(e.filter($"vec_id" < 20), e, "vec_id", "vec_id",
+      "embedding", 5, bits = 6, tables = 8)
+      .head().getDouble(0)
+    info(s"lsh recall=$recall")
+    assert(recall >= 0.9, s"LSH recall $recall too low")
+  }
+
+  test("multimodal stub: schema, determinism, batch shape") {
+    val media = docs.limit(10)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"), lit("image").as("kind"))
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    val rows = feats.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.feature.length === 16))
+    assert(rows.forall(r => r.width >= 64 && r.height >= 64))
+    // deterministic
+    val again = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
+    val frames = Multimodal.sampleFrames(media, stride = 50)
+    assert(frames.agg(min("n_frames")).head().getInt(0) >= 1)
+  }
+}
