@@ -161,6 +161,20 @@ object ErPipeline {
       .agg(min("block_key").as("block_key")) // A8 dedup, deterministic min
   }
 
+  /** G1 Pooled mode: match a source pool against a search pool
+    * (reference: run_search.py:34-47; pair order is source-first, NOT
+    * canonicalized — run_search.py:183-193 keeps slots). Unpooled /
+    * PooledReflective self-matching is `candidates` above.
+    */
+  def candidatesPooled(sourceSigs: DataFrame, searchSigs: DataFrame): DataFrame = {
+    val src = sourceSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url1"))
+    val sea = searchSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url2"))
+    src.join(sea, Seq("bk"))
+      .filter(col("url1") =!= col("url2"))
+      .groupBy("url1", "url2")
+      .agg(min("bk").as("block_key"))
+  }
+
   // -------------------------------------------------------------------
   // stage 5: scores — feature-based pair classifier (M2 replacement)
   // -------------------------------------------------------------------
