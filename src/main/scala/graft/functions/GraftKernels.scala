@@ -77,8 +77,69 @@ object GraftKernels {
     j + prefix * 0.1 * (1.0 - j)
   }
 
-  def jaroWinkler(s1: UTF8String, s2: UTF8String): Double =
-    jaroWinkler(s1.toString, s2.toString)
+  def jaroWinkler(s1: UTF8String, s2: UTF8String): Double = {
+    val b1 = s1.getBytes
+    val b2 = s2.getBytes
+    if (allAscii(b1) && allAscii(b2)) jaroWinklerBytes(b1, b2)
+    else jaroWinkler(s1.toString, s2.toString)
+  }
+
+  private def allAscii(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** ASCII fast path: identical algorithm over raw bytes (1 byte = 1 char),
+    * no String materialization in the per-pair hot loop.
+    */
+  private def jaroWinklerBytes(s1: Array[Byte], s2: Array[Byte]): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (len1 == 1 && len2 == 1) return if (s1(0) == s2(0)) 1.0 else 0.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val matched1 = new Array[Boolean](len1)
+    val matched2 = new Array[Boolean](len2)
+    var m = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matched2(j) && s1(i) == s2(j)) {
+          matched1(i) = true
+          matched2(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var transpositions = 0
+    var j = 0
+    i = 0
+    while (i < len1) {
+      if (matched1(i)) {
+        while (!matched2(j)) j += 1
+        if (s1(i) != s2(j)) transpositions += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = transpositions / 2
+    val md = m.toDouble
+    val jaro = (md / len1 + md / len2 + (md - t) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val max = math.min(4, math.min(len1, len2))
+    while (prefix < max && s1(prefix) == s2(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
 
   /** Char tokenizer (reference: idrt/data.py:216-242): normalized text ->
     * exactly `maxLength` token ids, right-filled with the PAD token.
@@ -254,18 +315,44 @@ object GraftKernels {
     * reference's Annoy forest (idrt/algorithm/run_search.py:110-204):
     * n_trees -> number of tables, threshold applied after the bucket join.
     */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  /** Deterministic hyperplane components for (seed, bits, dim), built once
+    * per JVM — the per-row cost is then a pure dot-product loop.
+    */
+  private def planes(seed: Long, bits: Int, dim: Int): Array[Double] = {
+    val key = (seed, bits, dim)
+    // lock-free fast path: computeIfAbsent's bin lock contends badly when
+    // 32 codegen threads hit the same hot key every row
+    val cached = planeCache.get(key)
+    if (cached != null) return cached
+    val p = new Array[Double](bits * dim)
+    var b = 0
+    while (b < bits) {
+      var i = 0
+      while (i < dim) {
+        val h = mix64(seed * 1315423911L + b * 2654435761L + i)
+        p(b * dim + i) = h.toDouble / Long.MaxValue.toDouble
+        i += 1
+      }
+      b += 1
+    }
+    planeCache.putIfAbsent(key, p)
+    p
+  }
+
   def rhpKey(v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
+    val p = planes(seed, bits, n)
     var key = 0L
     var b = 0
     while (b < bits) {
       var dot = 0.0
       var i = 0
+      val off = b * n
       while (i < n) {
-        val h = mix64(seed * 1315423911L + b * 2654435761L + i)
-        // map hash to a deterministic pseudo-gaussian component in [-1, 1]
-        val comp = (h.toDouble / Long.MaxValue.toDouble)
-        dot += comp * v.getFloat(i)
+        dot += p(off + i) * v.getFloat(i)
         i += 1
       }
       if (dot >= 0) key |= (1L << b)

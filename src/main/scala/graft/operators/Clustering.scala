@@ -42,6 +42,15 @@ object Clustering {
       .distinct()
       .localCheckpoint(true)
 
+    // order-insensitive edge-set signature: (count, xor of row hashes).
+    // One cheap agg job replaces count+count+anti-join per round; a false
+    // fixpoint needs a 128-bit collision — negligible vs iteration cost.
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prevSig = sig(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -65,15 +74,13 @@ object Clustering {
         .select($"m".as("u"), $"u".as("v"))
       val attachCenter = mins2.select($"m".as("u"), $"v")
       val small = attachNeighbors.unionByName(attachCenter).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // convergence = edge-set fixpoint
-      val changed = small.count() != e.count() ||
-        !small.join(e, Seq("u", "v"), "left_anti").isEmpty
+      // 2 jobs per round: materialize (lineage cut) + signature agg
       val checkpointed = small.localCheckpoint(true)
-      small.unpersist(false)
+      val s = sig(checkpointed)
       e = checkpointed
-      converged = !changed
+      converged = s == prevSig
+      prevSig = s
       iter += 1
     }
 

@@ -35,9 +35,16 @@ object ErPipeline {
       pipelineVersion: String = "graft-er-v1",
       matchThreshold: Double = 0.45,
       embedDim: Int = 64,
-      maxBlock: Int = 256,
-      hotWindow: Int = 8,
-      lshBits: Int = 12,
+      // Blocks above maxBlock switch from full pairing (quadratic in the
+      // block) to sorted-neighborhood (linear: size * hotWindow). Low-
+      // precision keys (name soundex) grow linearly with corpus size, so
+      // the cap is what keeps total candidates O(n); high-precision keys
+      // (email/phone) stay far below it.
+      maxBlock: Int = 48,
+      hotWindow: Int = 6,
+      // 16-bit buckets keep mean occupancy ~n/65k per table; at larger n
+      // raise bits ~ log2(n/4) so in-bucket pairing stays linear in n
+      lshBits: Int = 16,
       lshTables: Int = 2,
       useLsh: Boolean = true)
 
@@ -114,10 +121,15 @@ object ErPipeline {
       when(length(col("email_norm")) > 0, concat(lit("e:"), col("email_norm"))),
       when(length(col("phone_norm")) > 0, concat(lit("p:"), col("phone_norm"))),
       when(length(col("name_norm")) > 0, soundexKey))
+    // Embedding-LSH is the fallback blocker for records that lack strong
+    // keys (no email, no phone): exactly the population exact blocking
+    // can't reach. Records with strong keys skip it — their LSH buckets
+    // would only add redundant candidates that grow with corpus size.
+    val weak = length(col("email_norm")) === 0 && length(col("phone_norm")) === 0
     val lshKeys: Seq[Column] = if (cfg.useLsh) {
       (0 until cfg.lshTables).map { t =>
-        concat(lit(s"h$t:"),
-          Similarity.rhpKey(col("embedding"), cfg.lshBits, 0x5EED0000L + t).cast("string"))
+        when(weak, concat(lit(s"h$t:"),
+          Similarity.rhpKey(col("embedding"), cfg.lshBits, 0x5EED0000L + t).cast("string")))
       }
     } else Seq.empty
     val allKeys =
@@ -142,13 +154,27 @@ object ErPipeline {
     val keyed = signatures
       .select(explode(col("block_keys")).as("bk"), col("url"))
     val sizes = keyed.groupBy("bk").agg(count(lit(1)).as("bk_n"))
+    // join hash-partitions by bk; the cold groupBy and the hot window both
+    // reuse that partitioning (no further exchange until the pair dedup)
     val withSize = keyed.join(sizes, "bk")
 
+    // cold blocks (<= maxBlock members): gather the block into one bounded
+    // array and emit all C(n,2) pairs locally — no self-join, no second
+    // shuffle. The bound is what makes collect_list safe.
     val cold = withSize.filter(col("bk_n") <= cfg.maxBlock)
-    val coldPairs = cold.as("a")
-      .join(cold.as("b"), col("a.bk") === col("b.bk") && col("a.url") < col("b.url"))
-      .select(col("a.bk").as("block_key"), col("a.url").as("url1"), col("b.url").as("url2"))
+      .groupBy("bk").agg(array_sort(collect_list("url")).as("us"))
+      .filter(size(col("us")) >= 2)
+    val coldPairs = cold.select(
+      col("bk").as("block_key"),
+      explode(flatten(transform(
+        sequence(lit(1), size(col("us")) - 1),
+        i => transform(
+          slice(col("us"), i + 1, size(col("us")) - i),
+          u2 => struct(element_at(col("us"), i).as("url1"), u2.as("url2")))))).as("p"))
+      .select(col("block_key"), col("p.url1"), col("p.url2"))
 
+    // hot blocks: sorted-neighborhood — each member pairs with the next
+    // hotWindow members in url order; cost is linear in block size.
     val hot = withSize.filter(col("bk_n") > cfg.maxBlock)
       .withColumn("rn", row_number().over(Window.partitionBy("bk").orderBy("url")))
     val hotPairs = hot.as("a")
