@@ -167,6 +167,20 @@ case class RollingMinHash(child: Expression, width: Int)
   override def prettyName: String = "rolling_minhash"
 }
 
+/** sorted_overlap(array<long>, array<long>) -> int — common-element count
+  * of two sorted arrays (merge scan; the Jaccard hot loop).
+  */
+case class SortedOverlap(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GraftKernels.sortedOverlap(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftKernels.sortedOverlap($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlap =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_overlap"
+}
+
 /** Column-level API for the custom expressions + composed similarity fns. */
 object Similarity {
   import org.apache.spark.sql.functions._
@@ -191,6 +205,9 @@ object Similarity {
 
   def minHashSig(c: Column, k: Int, shingleWidth: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k, shingleWidth))
+
+  def sortedOverlap(a: Column, b: Column): Column =
+    GraftBridge.column(SortedOverlap(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Annoy angular distance -> cosine similarity, (2 - d^2)/2
     * (reference: idrt/algorithm/run_search.py:159-161).

@@ -410,6 +410,26 @@ object GraftKernels {
     out.toArray
   }
 
+  /** Count of common elements between two SORTED long arrays (merge scan,
+    * O(n+m), zero allocation) — the hot kernel of set-Jaccard over hashed
+    * shingle sets.
+    */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Polynomial rolling-hash document fingerprint over char shingles of
     * width w: min of the rolling window hashes (a 1-perm MinHash); used as
     * a cheap near-dup fingerprint.

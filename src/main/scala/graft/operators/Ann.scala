@@ -28,6 +28,7 @@ object Ann {
       qId: String, cId: String, embCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(qId).as("query_id"), col(embCol).as("qe")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("ce"))
+      .repartition(col("neighbor_id")) // spread single-split corpora
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Similarity.cosineSim(asDouble(col("qe")), asDouble(col("ce"))))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))

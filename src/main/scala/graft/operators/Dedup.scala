@@ -35,6 +35,23 @@ object Dedup {
     array_distinct(when(size(w) >= n, grams).otherwise(array(array_join(w, " "))))
   }
 
+  /** Distinct 64-bit hashes of the word n-gram shingles: set-isomorphic to
+    * the string shingles (collision odds ~n^2/2^64), 8 bytes per element
+    * instead of ~20-char strings — intersections and shuffles get cheap
+    * while Jaccard VALUES stay identical (oracle-safe).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(shingles(text, n), s => xxhash64(s))))
+
+  /** Jaccard via merge-scan overlap of two SORTED hashed shingle sets —
+    * identical values to set Jaccard, O(n+m) per pair, no hash set.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = Similarity.sortedOverlap(a, b).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
   /** Set Jaccard over two shingle arrays — exact int/int division, so it
     * reproduces identically in any engine (oracle-safe).
     */
@@ -51,13 +68,17 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    // small single-split inputs would otherwise run the whole pair scan in
+    // one task after a broadcast self-join; spread by block key first (on
+    // real multi-split tables this exchange matches the data layout)
     val base = df.select((blockCols.map(col) :+ col(idCol) :+
-      shingles(Normalize.canonicalText(col(textCol)), n).as("sh")): _*)
+      shingleHashes(Normalize.canonicalText(col(textCol)), n).as("sh")): _*)
+      .repartition(blockCols.map(col) :+ col(idCol): _*)
     val lhs = base.select((blockCols.map(col) :+ col(idCol).as("id1") :+ col("sh").as("sh1")): _*)
     val rhs = base.select((blockCols.map(col) :+ col(idCol).as("id2") :+ col("sh").as("sh2")): _*)
     lhs.join(rhs, blockCols)
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), round(jaccard(col("sh1"), col("sh2")), 4).as("jac"))
+      .select(col("id1"), col("id2"), round(jaccardSorted(col("sh1"), col("sh2")), 4).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -76,22 +97,28 @@ object Dedup {
     val sigd = df.select(
       col(idCol),
       Similarity.minHashSig(canon, k, shingleWidth).as("sig"),
-      shingles(canon, shingleWidth).as("sh"))
+      shingleHashes(canon, shingleWidth).as("sh"))
+      .repartition(col(idCol)) // parallelize signature computation on single-split inputs
+    // the band bucket join carries only ids — shingle sets join back once
+    // per deduped pair, not once per colliding band
     val banded = sigd.select(
-      col(idCol), col("sh"),
+      col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
       }: _*)).as("bk"))
-      .select(col(idCol), col("sh"), col("bk.band"), col("bk.bkey"))
-    val lhs = banded.select(col("band"), col("bkey"), col(idCol).as("id1"), col("sh").as("sh1"))
-    val rhs = banded.select(col("band"), col("bkey"), col(idCol).as("id2"), col("sh").as("sh2"))
-    lhs.join(rhs, Seq("band", "bkey"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    val lhs = banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
+    val rhs = banded.select(col("band"), col("bkey"), col(idCol).as("id2"))
+    val pairs = lhs.join(rhs, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
-      .groupBy("id1", "id2").agg(first("sh1").as("sh1"), first("sh2").as("sh2"))
+      .select("id1", "id2")
+      .distinct()
+    val sh1 = sigd.select(col(idCol).as("id1"), col("sh").as("sh1"))
+    val sh2 = sigd.select(col(idCol).as("id2"), col("sh").as("sh2"))
+    pairs.join(sh1, "id1").join(sh2, "id2")
       .select(col("id1"), col("id2"),
-        round(jaccard(col("sh1"), col("sh2")), 4).as("jac"))
+        round(jaccardSorted(col("sh1"), col("sh2")), 4).as("jac"))
       .filter(col("jac") >= verifyThreshold)
   }
 

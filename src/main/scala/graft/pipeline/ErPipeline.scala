@@ -34,7 +34,7 @@ object ErPipeline {
       outRoot: String = "",
       pipelineVersion: String = "graft-er-v1",
       matchThreshold: Double = 0.45,
-      embedDim: Int = 64,
+      embedDim: Int = 32,
       // Blocks above maxBlock switch from full pairing (quadratic in the
       // block) to sorted-neighborhood (linear: size * hotWindow). Low-
       // precision keys (name soundex) grow linearly with corpus size, so

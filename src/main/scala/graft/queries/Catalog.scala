@@ -264,6 +264,7 @@ object Catalog {
         col("lang"),
         col("source"),
         Normalize.normalizeField(Seq(col("text")), 60).as("text_norm"))
+      .repartition(col("lang"), col("source"), col("doc_id"))
     val lhs = docs.select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id1"), col("text_norm").as("t1"))
@@ -301,6 +302,52 @@ object Catalog {
       |FROM docs a JOIN docs b
       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin
 
+  /** par.2.12 capabilities the engine inherits from Catalyst: rollup. */
+  val qRollup: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
+  val qRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** par.2.12: intersect / except. */
+  val qIntersectExcept: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_nationkey")
+    val inter = building.intersect(rich).withColumn("which", lit("both"))
+    val exc = building.except(rich).withColumn("which", lit("building_only"))
+    inter.unionByName(exc)
+  }
+
+  val qIntersectExceptSql: String =
+    """SELECT c_nationkey, 'both' AS which FROM (
+      |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+      |UNION ALL
+      |SELECT c_nationkey, 'building_only' AS which FROM (
+      |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)""".stripMargin
+
+  /** left_semi (EXISTS) — the incremental pipelines use anti; semi is the
+    * complement.
+    */
+  val qSemiJoin: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin
+
   // ---------------------------------------------------------------------
   // ER: scoring, top-k, incremental recompare, metrics, clustering
   // ---------------------------------------------------------------------
@@ -311,6 +358,7 @@ object Catalog {
   val erScores: Q = (s, dir) => {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
+      .repartition(col("c_nationkey"), col("c_custkey"))
     val a = c.select(col("c_nationkey"), col("c_mktsegment"),
       col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_mktsegment"),
@@ -336,6 +384,7 @@ object Catalog {
   val erTopkCandidates: Q = (s, dir) => {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      .repartition(col("c_nationkey"), col("c_custkey"))
     val a = c.select(col("c_nationkey"), col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_custkey").as("k2"), col("c_name").as("n2"))
     val scored = a.join(b, Seq("c_nationkey"))
@@ -434,6 +483,7 @@ object Catalog {
     */
   val erClusters: Q = (s, dir) => {
     val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      .repartition(col("c_nationkey"), col("c_custkey"))
     val a = c.select(col("c_nationkey"), col("c_custkey").as("u"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_custkey").as("v"), col("c_name").as("n2"))
     val edges = a.join(b, Seq("c_nationkey"))
@@ -733,6 +783,9 @@ object Catalog {
     "q_anti_join" -> qAntiJoin,
     "q_incremental_stale" -> qIncrementalStale,
     "q_merge_upsert" -> qMergeUpsert,
+    "q_rollup" -> qRollup,
+    "q_intersect_except" -> qIntersectExcept,
+    "q_semi_join" -> qSemiJoin,
     "er_normalize" -> erNormalize,
     "er_validity_split" -> erValiditySplit,
     "er_pair_canonical" -> erPairCanonical,
@@ -769,6 +822,9 @@ object Catalog {
     "q_anti_join" -> qAntiJoinSql,
     "q_incremental_stale" -> qIncrementalStaleSql,
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_rollup" -> qRollupSql,
+    "q_intersect_except" -> qIntersectExceptSql,
+    "q_semi_join" -> qSemiJoinSql,
     "er_normalize" -> erNormalizeSql,
     "er_validity_split" -> erValiditySplitSql,
     "er_pair_canonical" -> erPairCanonicalSql,

@@ -79,8 +79,11 @@ class RelabelSpec extends SparkSpec {
     val pages = WebPageGen.pages(spark, 30L).toDF
     val sigs = ErPipeline.signatures(
       ErPipeline.normalize(ErPipeline.extract(pages))).cache()
-    val poolA = sigs.filter($"lang" === "en")
-    val poolB = sigs.filter($"lang" =!= "en")
+    // pools that genuinely share blocking keys: base pages vs variants
+    // (the reference's Pooled mode matches a source pool against a
+    // search pool, run_search.py:34-47)
+    val poolA = sigs.filter($"url".endsWith("/base"))
+    val poolB = sigs.filter(!$"url".endsWith("/base"))
     val cands = ErPipeline.candidatesPooled(poolA, poolB)
     assert(cands.count() > 0)
     // source slot always holds pool-A urls
