@@ -345,6 +345,58 @@ object ErPipeline {
       .filter(col("_prev_ts").isNull || col(ts) > col("_prev_ts"))
       .drop("_prev_ts")
 
+  final case class IncrementalStats(
+      staleRowCount: Long, rescoredPairs: Long, reusedPairs: Long)
+
+  /** Incremental run (I1 + I2 end-to-end): given the previous run's
+    * signatures + scored pairs and a new snapshot of the input, only
+    * new/updated urls are re-extracted/normalized/signed, only candidate
+    * pairs touching a stale url are re-scored; untouched pairs are reused
+    * verbatim (the reference's contact_timestamp/comparison_timestamp
+    * semantics, prepare_data.py:67-77 + run_search.py:416-434). Clusters
+    * are recomputed from the merged pair table (a global operation).
+    */
+  def runIncremental(
+      spark: SparkSession,
+      pages: DataFrame,
+      priorSignatures: DataFrame,
+      priorScored: DataFrame,
+      cfg: Config): (Result, IncrementalStats) = {
+    val prior = priorSignatures.cache()
+    val stale = staleRows(pages, prior.select(col("url"), col("warc_ts")), "url", "warc_ts")
+      .cache()
+    val nStale = stale.count()
+
+    val staleSigs = signatures(normalize(extract(stale)), cfg)
+    val mergedSigs = prior
+      .join(stale.select("url"), Seq("url"), "left_anti")
+      .unionByName(staleSigs)
+      .cache()
+
+    // pairs to (re)score: any candidate with a stale endpoint
+    val staleUrls = stale.select(col("url"))
+    val allCands = candidates(mergedSigs, cfg)
+    val staleCands = allCands
+      .join(staleUrls.withColumnRenamed("url", "url1"), Seq("url1"), "left_semi")
+      .unionByName(allCands
+        .join(staleUrls.withColumnRenamed("url", "url2"), Seq("url2"), "left_semi")
+        .select(allCands.columns.map(col): _*))
+      .groupBy("url1", "url2").agg(min("block_key").as("block_key"))
+    val rescored = scorePairs(staleCands, mergedSigs, cfg)
+
+    val reused = priorScored
+      .join(staleUrls.withColumnRenamed("url", "url1"), Seq("url1"), "left_anti")
+      .join(staleUrls.withColumnRenamed("url", "url2"), Seq("url2"), "left_anti")
+    val mergedScored = reused
+      .select(rescored.columns.map(col): _*)
+      .unionByName(rescored)
+      .cache()
+
+    val clustered = clusters(mergedSigs, mergedScored)
+    val stats = IncrementalStats(nStale, rescored.count(), reused.count())
+    (Result(mergedSigs, mergedSigs, staleCands, mergedScored, clustered), stats)
+  }
+
   // -------------------------------------------------------------------
   // orchestration with checkpoint/resume
   // -------------------------------------------------------------------

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ErPipeline
+import graft.sources.WebPageGen
+
+/** SURVEY.md par.5 item 5: an incremental re-run with m updated rows
+  * re-scores only the affected pairs and produces exactly the same final
+  * state a full recompute would.
+  */
+class IncrementalSpec extends SparkSpec {
+
+  test("incremental run rescoring == full recompute; untouched pairs reused") {
+    val cfg = ErPipeline.Config()
+    val pages0 = WebPageGen.pages(spark, 80L).toDF.cache()
+    val full0 = ErPipeline.run(spark, pages0, cfg)
+    val sigs0 = full0.signatures.cache()
+    val scored0 = full0.scored.cache()
+    scored0.count()
+
+    // new snapshot: 10 entities' base pages get a bumped warc_ts (their
+    // html/text are regenerated identically -> scores must not change
+    // values, but those pairs MUST be re-scored), plus 5 brand-new entities
+    val bumped = pages0
+      .filter(col("url").endsWith("/base") && col("url").contains("/profile/1"))
+      .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1 DAY"))
+    val newEntities = WebPageGen.pages(spark, 85L).toDF
+      .join(pages0.select("url"), Seq("url"), "left_anti")
+    val pages1 = pages0
+      .join(bumped.select("url"), Seq("url"), "left_anti")
+      .unionByName(bumped)
+      .unionByName(newEntities)
+      .cache()
+
+    val (inc, stats) = ErPipeline.runIncremental(spark, pages1, sigs0, scored0, cfg)
+    info(s"stale=${stats.staleRowCount} rescored=${stats.rescoredPairs} reused=${stats.reusedPairs}")
+
+    // stale set = bumped bases + all pages of the 5 new entities
+    assert(stats.staleRowCount === bumped.count() + newEntities.count())
+    assert(stats.reusedPairs > 0, "unchanged pairs must be reused, not recomputed")
+
+    // equivalence with a full recompute on the new snapshot
+    val fullRes = ErPipeline.run(spark, pages1, cfg)
+    val incPairs = inc.scored.select("url1", "url2", "score", "matches")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    val fullPairs = fullRes.scored.select("url1", "url2", "score", "matches")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(incPairs === fullPairs,
+      s"missing=${(fullPairs -- incPairs).take(3)} extra=${(incPairs -- fullPairs).take(3)}")
+
+    val incClusters = inc.clusters.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fullClusters = fullRes.clusters.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(incClusters === fullClusters)
+  }
+}

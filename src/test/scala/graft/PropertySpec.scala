@@ -1,0 +1,104 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{GraftKernels, Normalize}
+
+/** Property-based tests (SURVEY.md par.5 item 2) using ScalaCheck
+  * generators sampled over fixed seeds (the scalatest-scalacheck bridge is
+  * not on the offline classpath, so sampling is driven manually —
+  * deterministic by construction).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (2, Gen.const(' ')),
+      (1, Gen.oneOf('.', '-', '@', '\'', '!')))).map(_.mkString)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("normalization is idempotent and length-bounded") {
+    val maxes = samples(Gen.choose(1, 60), 200)
+    samples(asciiText, 200).zip(maxes).foreach { case (s, max) =>
+      val once = Normalize.normalizeJvm(Seq(s), max)
+      val twice = Normalize.normalizeJvm(Seq(once), max)
+      assert(once === twice, s"not idempotent for ${s.take(40)} max=$max")
+      assert(once.length <= max)
+    }
+  }
+
+  test("tokenizer output is always exactly maxLength, pad-suffixed, in-vocab") {
+    val maxes = samples(Gen.choose(1, 60), 200)
+    samples(asciiText, 200).zip(maxes).foreach { case (s, max) =>
+      val norm = Normalize.normalizeJvm(Seq(s), max)
+      val toks = Normalize.tokenizeJvm(norm, max)
+      assert(toks.length === max)
+      toks.drop(norm.length).foreach(t => assert(t === Normalize.PadToken))
+      toks.take(norm.length).foreach(t => assert(t >= 0 && t < 101))
+    }
+  }
+
+  test("jaro-winkler is symmetric, bounded, reflexive") {
+    val as = samples(asciiText, 300)
+    val bs = samples(asciiText, 300).reverse
+    as.zip(bs).foreach { case (a, b) =>
+      val ab = GraftKernels.jaroWinkler(a, b)
+      val ba = GraftKernels.jaroWinkler(b, a)
+      assert(math.abs(ab - ba) < 1e-12, s"asymmetric for ($a, $b)")
+      assert(ab >= 0.0 && ab <= 1.0)
+      if (a.nonEmpty) assert(GraftKernels.jaroWinkler(a, a) === 1.0)
+    }
+  }
+
+  test("jaro-winkler byte path agrees with string path on ascii") {
+    import org.apache.spark.unsafe.types.UTF8String.fromString
+    val as = samples(asciiText, 300)
+    val bs = samples(asciiText, 300).reverse
+    as.zip(bs).foreach { case (a, b) =>
+      val viaBytes = GraftKernels.jaroWinkler(fromString(a), fromString(b))
+      val viaString = GraftKernels.jaroWinkler(a, b)
+      assert(viaBytes === viaString, s"byte/string mismatch for ($a, $b)")
+    }
+  }
+
+  test("simhash is deterministic; single-word edits move few bits") {
+    val wordLists = samples(Gen.listOfN(30, Gen.identifier.map(_.take(6))), 100)
+    import org.apache.spark.unsafe.types.UTF8String.fromString
+    wordLists.filter(_.nonEmpty).foreach { words =>
+      val doc = fromString(words.mkString(" "))
+      val edited = fromString((words.dropRight(1) :+ "zzz").mkString(" "))
+      val self = GraftKernels.simhash64(doc)
+      assert(self === GraftKernels.simhash64(doc))
+      val ham = java.lang.Long.bitCount(self ^ GraftKernels.simhash64(edited))
+      assert(ham <= 40, s"one-word edit moved $ham bits")
+    }
+  }
+
+  test("minhash agreement tracks shingle jaccard for near-dup docs") {
+    import org.apache.spark.unsafe.types.UTF8String.fromString
+    val wordLists = samples(Gen.listOfN(40, Gen.identifier.map(_.take(5))), 100)
+    val drops = samples(Gen.choose(1, 8), 100)
+    wordLists.zip(drops).filter(_._1.size >= 20).foreach { case (words, drop) =>
+      val sa = GraftKernels.minhashSig(fromString(words.mkString(" ")), 96, 3)
+      val sb = GraftKernels.minhashSig(fromString(words.dropRight(drop).mkString(" ")), 96, 3)
+      val agree = (0 until 96).count(i => sa.getLong(i) == sb.getLong(i))
+      assert(agree >= 30, s"only $agree/96 minhashes agree for drop=$drop")
+    }
+  }
+
+  test("sorted overlap equals set intersection size") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      val got = GraftKernels.sortedOverlap(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray))
+      assert(got === a.toSet.intersect(b.toSet).size)
+    }
+  }
+}
