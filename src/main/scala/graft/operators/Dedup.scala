@@ -148,6 +148,35 @@ object Dedup {
       .groupBy("id1", "id2").agg(min("hamming").as("hamming"))
   }
 
+  /** Deletion-neighborhood (SymSpell-style) blocking for edit-distance-1
+    * pairs: every string emits itself plus each single-char deletion as a
+    * key; any two strings with levenshtein <= 1 share at least one key
+    * (equal -> identity key; substitution at p -> both-deleted-at-p key;
+    * insert/delete -> the longer side's deletion key equals the shorter
+    * string). Exact recall, and the candidate set is only the true
+    * near-pairs — no quadratic in-block Levenshtein scan.
+    */
+  def lev1Pairs(
+      df: DataFrame, idCol: String, strCol: String,
+      blockCols: Seq[String]): DataFrame = {
+    val nm = col(strCol)
+    val delKeys = transform(sequence(lit(1), length(nm)), i =>
+      concat(nm.substr(lit(1), i - 1), nm.substr(i + 1, length(nm))))
+    val keyed = df.select(
+      (blockCols.map(col) :+ col(idCol) :+ col(strCol) :+
+        explode(concat(array(nm), delKeys)).as("dk")): _*)
+    val lhs = keyed.select((blockCols.map(col) :+ col("dk") :+
+      col(idCol).as("id1") :+ col(strCol).as("s1")): _*)
+    val rhs = keyed.select((blockCols.map(col) :+ col("dk") :+
+      col(idCol).as("id2") :+ col(strCol).as("s2")): _*)
+    lhs.join(rhs, blockCols :+ "dk")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "s1", "s2")
+      .distinct()
+      .filter(levenshtein(col("s1"), col("s2")) <= 1)
+      .select("id1", "id2")
+  }
+
   /** Embedding near-dup: cosine >= threshold pairs. Blocked variant —
     * callers pass block columns (or use Ann.lsh buckets) to avoid n^2.
     */

@@ -484,11 +484,10 @@ object Catalog {
   val erClusters: Q = (s, dir) => {
     val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_name"))
       .repartition(col("c_nationkey"), col("c_custkey"))
-    val a = c.select(col("c_nationkey"), col("c_custkey").as("u"), col("c_name").as("n1"))
-    val b = c.select(col("c_nationkey"), col("c_custkey").as("v"), col("c_name").as("n2"))
-    val edges = a.join(b, Seq("c_nationkey"))
-      .filter(col("u") < col("v") && levenshtein(col("n1"), col("n2")) <= 1)
-      .select("u", "v")
+    // deletion-neighborhood blocking: exact lev<=1 recall with O(n * len)
+    // keys instead of the O(block^2) Levenshtein scan the oracle SQL does
+    val edges = Dedup.lev1Pairs(c, "c_custkey", "c_name", Seq("c_nationkey"))
+      .select(col("id1").as("u"), col("id2").as("v"))
     graft.operators.Clustering.clusterAll(c, "c_custkey", edges, "u", "v")
   }
 
