@@ -750,6 +750,19 @@ object Catalog {
       |  count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Custom streaming state (flatMapGroupsWithState): first event per
+    * user, first-seen-wins.
+    */
+  val streamFirstSeen: Q = (s, dir) =>
+    graft.streaming.StreamingOps.firstSeenPerUser(s, s"$dir/events.parquet")
+
+  val streamFirstSeenSql: String =
+    """SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+      |FROM (SELECT user_id, event_id, ts, event_type, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      |      FROM events)
+      |WHERE rk = 1""".stripMargin
+
   /** Stateful sessionization via session_window (10-minute gap). */
   val streamSessionize: Q = (s, dir) =>
     graft.streaming.StreamingOps.sessionize(s, s"$dir/events.parquet", 10)
@@ -808,6 +821,7 @@ object Catalog {
     "mm_binary_meta" -> mmBinaryMeta,
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
+    "stream_first_seen" -> streamFirstSeen,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -845,5 +859,6 @@ object Catalog {
     "mm_binary_meta" -> mmBinaryMetaSql,
     "stream_windowed_agg" -> streamWindowedAggSql,
     "stream_sessionize" -> streamSessionizeSql,
+    "stream_first_seen" -> streamFirstSeenSql,
   )
 }

@@ -55,6 +55,47 @@ object StreamingOps {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Custom streaming state via KeyValueGroupedDataset.flatMapGroupsWithState:
+    * first-seen-wins dedup per key — the streaming analogue of the
+    * pipeline's incremental "skip already-processed urls" semantics (I1).
+    * Each key's state records whether it has emitted; the first batch
+    * emits the key's earliest event (ties broken by event_id).
+    */
+  def firstSeenPerUser(spark: SparkSession, eventsParquet: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = streamParquet(spark, eventsParquet)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    val deduped = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Ev], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // the single-file AvailableNow source delivers one batch, so
+            // the per-batch minimum is the global first
+            Iterator(evs.minBy(e => (e.ts.getTime, e.event_id)))
+          }
+      }
+    val name = s"graft_stream_first_${counter.incrementAndGet()}"
+    val q = deduped.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select(
+      col("user_id"), col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"),
+      col("event_type"), round(col("value"), 2).as("value"))
+  }
+
   /** Stateful per-user sessionization via flatMapGroupsWithState-style
     * semantics, expressed with the declarative session_window — gaps over
     * `gapMinutes` start a new session.
