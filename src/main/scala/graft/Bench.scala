@@ -5,7 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: all catalog queries on SPARK_GRAFT_SF_DIR plus the
   * end-to-end ER pipeline (generated corpus sized to the SF). One warmup
   * execution of a small query first so JVM/codegen startup isn't billed to
-  * the first measured query. Prints ONE JSON line.
+  * the first measured query.
+  *
+  * Output contract: ONE JSON line, printed directly to stdout as the final
+  * program output (run/fork + StdoutOutput in build.sbt keeps it free of
+  * sbt log prefixes) AND written to bench.json in the working directory so
+  * the driver can parse it even if sbt appends its own trailer lines.
+  * Failed queries are recorded under "failed" with their error class and
+  * are excluded from the timing totals — a failure must never masquerade
+  * as a fast pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,11 +35,16 @@ object Bench {
     graft.queries.Catalog.queries.get("er_blocking_pairs")
       .foreach(q => q(spark, "/root/testdata/sf0.001").count())
 
+    final case class R(name: String, sec: Double, error: Option[String])
     val results = graft.queries.Catalog.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      R(name, (System.nanoTime() - t0) / 1e9, err)
     }
+    val ok = results.filter(_.error.isEmpty)
+    val failed = results.filter(_.error.isDefined)
 
     // end-to-end ER pipeline throughput on a generated corpus sized to SF
     val nEntities =
@@ -46,14 +59,21 @@ object Bench {
     val pipelineSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nPages / pipelineSec
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = ok.map(r => "\"" + r.name + "\":" + f"${r.sec}%.3f")
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipelineSec
-    println(
+    val fs = failed.map(r => "\"" + r.name + "\":\"" + r.error.get + "\"")
+      .mkString("{", ",", "}")
+    val total = ok.map(_.sec).sum + pipelineSec
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$fs,"n_failed":${failed.size},""" +
         f""""er_pipeline_sec":$pipelineSec%.3f,"er_pipeline_pages":$nPages,""" +
         f""""er_pipeline_docs_per_sec":$docsPerSec%.1f,"er_clusters":$nClusters,""" +
-        s""""sf":"$sfDir"}""")
+        s""""sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // last line of program output, after Spark's shutdown logging
+    println(json)
   }
 }

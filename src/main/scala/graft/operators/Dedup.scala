@@ -61,11 +61,12 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** Near-dup pairs by exact shingle Jaccard within a block column —
-    * the brute-force verifier (quadratic in block size; callers bound the
-    * block). For unblocked scale use minHashPairs.
+  /** Near-dup pairs by exact shingle Jaccard within a block column — the
+    * brute-force verifier (quadratic in block size; callers MUST bound the
+    * block). Kept only as the bounded-block verifier / oracle twin; the
+    * scale path is ngramJaccardPairs below.
     */
-  def ngramJaccardPairs(
+  def ngramJaccardPairsBrute(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
     // small single-split inputs would otherwise run the whole pair scan in
@@ -82,6 +83,53 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Exact shingle-Jaccard near-dup pairs at scale: MinHash-LSH banding
+    * generates candidates, exact sorted-overlap Jaccard verifies — same
+    * output as the brute verifier, but the self-join is keyed by (block,
+    * band, bucket) so per-key fan-out is bounded by bucket occupancy, never
+    * block^2. With rowsPerBand=2, bands=64 a true pair at j >= 0.5 is
+    * missed with probability (1 - 0.25)^64 ~ 1e-8 — the candidate stage is
+    * exhaustive for practical purposes and the exact verifier keeps the
+    * output identical to brute force.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double,
+      bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val canon = Normalize.canonicalText(col(textCol))
+    // signature table is read three times (banding + both verify sides);
+    // persist so the shingle/minhash kernels run once per row
+    val sigd = df.select((blockCols.map(col) :+ col(idCol) :+
+      Similarity.minHashSig(canon, k, n).as("sig") :+
+      shingleHashes(canon, n).as("sh")): _*)
+      .repartition(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigd.select((blockCols.map(col) :+ col(idCol) :+
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk")): _*)
+      .select((blockCols.map(col) :+ col(idCol) :+ col("bk.band") :+ col("bk.bkey")): _*)
+    val joinKeys = blockCols ++ Seq("band", "bkey")
+    val lhs = banded.select((joinKeys.map(col) :+ col(idCol).as("id1")): _*)
+    val rhs = banded.select((joinKeys.map(col) :+ col(idCol).as("id2")): _*)
+    val cands = lhs.join(rhs, joinKeys)
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    val sh1 = sigd.select(col(idCol).as("id1"), col("sh").as("sh1"))
+    val sh2 = sigd.select(col(idCol).as("id2"), col("sh").as("sh2"))
+    cands.join(sh1, "id1").join(sh2, "id2")
+      .select(col("id1"), col("id2"),
+        round(jaccardSorted(col("sh1"), col("sh2")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** (band, bucket-hash) LSH keys over a MinHash signature. */
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+    }: _*)
+
   /** MinHash+LSH near-dup detection: signature -> band keys -> bucket
     * equi-join -> exact-Jaccard verification. k = bands * rowsPerBand.
     * Collision probability for Jaccard j is 1-(1-j^r)^b — tune (b, r) to
@@ -94,19 +142,19 @@ object Dedup {
       verifyThreshold: Double = 0.6): DataFrame = {
     val k = bands * rowsPerBand
     val canon = Normalize.canonicalText(col(textCol))
+    // read three times (banding + both verify sides) — persist so the
+    // shingle/minhash kernels run once per row, not three times
     val sigd = df.select(
       col(idCol),
       Similarity.minHashSig(canon, k, shingleWidth).as("sig"),
       shingleHashes(canon, shingleWidth).as("sh"))
       .repartition(col(idCol)) // parallelize signature computation on single-split inputs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band bucket join carries only ids — shingle sets join back once
     // per deduped pair, not once per colliding band
     val banded = sigd.select(
       col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-      }: _*)).as("bk"))
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
     val lhs = banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
     val rhs = banded.select(col("band"), col("bkey"), col(idCol).as("id2"))
@@ -177,18 +225,77 @@ object Dedup {
       .select("id1", "id2")
   }
 
-  /** Embedding near-dup: cosine >= threshold pairs. Blocked variant —
-    * callers pass block columns (or use Ann.lsh buckets) to avoid n^2.
+  /** EXACT embedding near-dup (cosine >= threshold, all pairs compared):
+    * triangle-tiled self-join. Each id hashes to one of `tiles` groups; a
+    * pair (a, b) is compared in exactly the tile (min(g_a, g_b),
+    * max(g_a, g_b)), so the join is a plain equi-join on the tile id — no
+    * CartesianProduct in the plan, and the tiles*(tiles+1)/2 tasks spread
+    * the O(n^2) comparisons evenly across the cluster (replication factor
+    * ~tiles/2 per side; pick tiles ~ sqrt(n^2 / perTaskBudget)).
+    *
+    * Exactness is the point: a cosine threshold sitting in the random-pair
+    * bulk (like 0.4 on unit-ish 64-dim vectors) admits NO sub-quadratic
+    * exact algorithm — every LSH family has nonzero miss probability on
+    * borderline pairs. When approximate recall is acceptable, use
+    * embeddingPairsLsh; embeddingPairs dispatches on corpus size.
+    */
+  def embeddingPairsExact(
+      df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, tiles: Int = 16): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("e"),
+      pmod(xxhash64(col(idCol)), lit(tiles)).cast("int").as("g"))
+    val lhs = base.select(col("id").as("id1"), col("e").as("e1"),
+      explode(transform(sequence(col("g"), lit(tiles - 1)),
+        j => col("g") * tiles + j)).as("tile"))
+    val rhs = base.select(col("id").as("id2"), col("e").as("e2"),
+      explode(transform(sequence(lit(0), col("g")),
+        i => i * tiles + col("g"))).as("tile"))
+    lhs.join(rhs, "tile")
+      .filter(col("id1") =!= col("id2"))
+      .filter(Similarity.cosineSim(col("e1"), col("e2")) >= threshold)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct() // diagonal tiles see both orientations of a pair
+  }
+
+  /** APPROXIMATE embedding near-dup at scale: multi-table random-hyperplane
+    * bucket blocking + exact-cosine verify within collided buckets. The
+    * bucket join carries ids only; embeddings join back once per deduped
+    * candidate. Recall for a pair at angle theta is
+    * 1 - (1 - (1 - theta/pi)^bits)^tables — e.g. bits=4, tables=24 gives
+    * ~0.98 at cosine 0.4 and ~1.0 for anything closer. Candidates are
+    * bounded by bucket occupancy (mean n/2^bits per table), never n^2.
+    */
+  def embeddingPairsLsh(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double,
+      bits: Int = 4, tables: Int = 24, seed: Long = 0xE3BEDL): DataFrame = {
+    val keyed = df.select(
+      col(idCol),
+      explode(array((0 until tables).map { t =>
+        concat(lit(s"$t:"), Similarity.rhpKey(col(embCol), bits, seed + t).cast("string"))
+      }: _*)).as("bucket"))
+    val cands = keyed.select(col("bucket"), col(idCol).as("id1"))
+      .join(keyed.select(col("bucket"), col(idCol).as("id2")), Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    val e1 = df.select(col(idCol).as("id1"), col(embCol).cast("array<double>").as("e1"))
+    val e2 = df.select(col(idCol).as("id2"), col(embCol).cast("array<double>").as("e2"))
+    cands.join(e1, "id1").join(e2, "id2")
+      .filter(Similarity.cosineSim(col("e1"), col("e2")) >= threshold)
+      .select("id1", "id2")
+  }
+
+  /** Embedding near-dup with an honest scale switch: corpora up to
+    * `exactCap` rows get the exact tiled all-pairs answer; beyond that the
+    * O(n^2) compute is unpayable and the LSH path (approximate, tunable
+    * recall) takes over.
     */
   def embeddingPairs(
       df: DataFrame, idCol: String, embCol: String,
-      threshold: Double): DataFrame = {
-    val lhs = df.select(col(idCol).as("id1"), col(embCol).as("e1"))
-    val rhs = df.select(col(idCol).as("id2"), col(embCol).as("e2"))
-    lhs.crossJoin(rhs)
-      .filter(col("id1") < col("id2"))
-      .filter(Similarity.cosineSim(col("e1").cast("array<double>"),
-        col("e2").cast("array<double>")) >= threshold)
-      .select("id1", "id2")
-  }
+      threshold: Double, exactCap: Long = 100000L): DataFrame =
+    if (df.count() <= exactCap) embeddingPairsExact(df, idCol, embCol, threshold)
+    else embeddingPairsLsh(df, idCol, embCol, threshold)
 }

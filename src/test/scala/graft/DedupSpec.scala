@@ -70,6 +70,57 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("tiled exact embedding join equals the all-pairs definition") {
+    import graft.functions.GraftKernels.mix64
+    val e = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(d => (mix64(i * 8 + d).toDouble / Long.MaxValue).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = e.select($"vec_id".as("id1"), $"embedding".as("e1"), lit(1).as("b"))
+      .join(e.select($"vec_id".as("id2"), $"embedding".as("e2"), lit(1).as("b")), Seq("b"))
+      .filter($"id1" < $"id2")
+      .filter(graft.functions.Similarity.cosineSim(
+        $"e1".cast("array<double>"), $"e2".cast("array<double>")) >= 0.5)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiled = Dedup.embeddingPairsExact(e, "vec_id", "embedding", 0.5, tiles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiled === brute, s"missed=${brute -- tiled} extra=${tiled -- brute}")
+    assert(brute.nonEmpty, "test corpus should contain pairs above threshold")
+  }
+
+  test("LSH embedding near-dup achieves high recall on clustered vectors") {
+    import graft.functions.GraftKernels.mix64
+    val e = (0L until 200L).map { i =>
+      val c = (i % 20).toInt
+      val base = Array.tabulate(16)(d => math.sin(c * 2.1 + d * 0.9))
+      val v = base.zipWithIndex.map { case (x, d) =>
+        (x + 1e-2 * (mix64(i * 16 + d).toDouble / Long.MaxValue)).toFloat }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairsExact(e, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairsLsh(e, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // verify stage keeps precision exact; banding keeps recall near 1
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    info(s"embedding lsh recall=$recall over ${exact.size} true pairs")
+    assert(recall >= 0.95, s"recall $recall too low")
+  }
+
+  test("minhash-prefiltered jaccard equals the brute in-block verifier") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val brute = Dedup.ngramJaccardPairsBrute(blocked, "doc_id", "text", Seq("blk"), 3, 0.5)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq("blk"), 3, 0.5)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === brute, s"missed=${brute -- fast} extra=${fast -- brute}")
+    assert(brute.size >= 30, s"expected the planted dups, got ${brute.size}")
+  }
+
   test("ann brute-force top-k is exact and deterministic") {
     val e = (0L until 100L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))

@@ -35,6 +35,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("exact embedding near-dup is a tiled equi-join, never cartesian") {
+    val p = executed("dedup_embedding")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("ngram-jaccard candidates come from banded equi-joins, never cartesian") {
+    val p = executed("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("custom expressions execute inside whole-stage codegen") {
     // assert on a shuffle-free parquet-sourced plan: AQE-wrapped plans
     // report no codegen subtrees until executed, local relations never
