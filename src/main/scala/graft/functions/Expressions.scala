@@ -65,9 +65,14 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    // eval/codegen dispatch on the LEFT element type — a float/double mix
+    // would read the right array with the wrong stride, silently producing
+    // garbage similarities; require equal element types instead
+    val same = ok && elemType(left) == elemType(right)
+    if (same) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects array<float>/array<double>, got ${left.dataType}, ${right.dataType}")
+      s"cosine_sim expects two arrays with the SAME element type " +
+        s"(float or double; cast one side), got ${left.dataType}, ${right.dataType}")
   }
   override def dataType: DataType = DoubleType
   private lazy val isFloat = elemType(left) == FloatType

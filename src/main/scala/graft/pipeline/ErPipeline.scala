@@ -46,7 +46,15 @@ object ErPipeline {
       // raise bits ~ log2(n/4) so in-bucket pairing stays linear in n
       lshBits: Int = 16,
       lshTables: Int = 2,
-      useLsh: Boolean = true)
+      useLsh: Boolean = true,
+      // The reference's n_closest cap (run_search.py:148-150): bound each
+      // record's candidate fan-out to its strongest maxCandidatesPerRecord
+      // pairs (most shared block keys first, url tiebreak). 0 = uncapped.
+      maxCandidatesPerRecord: Int = 0,
+      // The reference's per-run batch cap (prepare_data.py:42,63-65):
+      // incremental runs process at most batchLimit stale rows,
+      // oldest-first; the rest stay stale for the next run. 0 = uncapped.
+      batchLimit: Int = 0)
 
   // -------------------------------------------------------------------
   // stage 1: extract — html binary -> canonical text + contact fields
@@ -182,9 +190,27 @@ object ErPipeline {
         && col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + cfg.hotWindow)
       .select(col("a.bk").as("block_key"), col("a.url").as("url1"), col("b.url").as("url2"))
 
-    coldPairs.unionByName(hotPairs)
+    val deduped = coldPairs.unionByName(hotPairs)
       .groupBy("url1", "url2")
-      .agg(min("block_key").as("block_key")) // A8 dedup, deterministic min
+      // A8 dedup, deterministic min; the shared-key count ranks pair
+      // strength for the per-record cap below
+      .agg(min("block_key").as("block_key"), count(lit(1)).as("_n_keys"))
+
+    // n_closest-style cap (I4/O4): keep each record's strongest pairs —
+    // most shared blocking keys first, url2 tiebreak. Bounds the scoring
+    // join's fan-out per record no matter how many keys a record explodes
+    // into; a hot record degrades gracefully instead of emitting unbounded
+    // pairs.
+    val capped =
+      if (cfg.maxCandidatesPerRecord <= 0) deduped
+      else {
+        val w = Window.partitionBy("url1")
+          .orderBy(col("_n_keys").desc, col("url2"))
+        deduped.withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= cfg.maxCandidatesPerRecord)
+          .drop("_rk")
+      }
+    capped.drop("_n_keys")
   }
 
   /** G1 Pooled mode: match a source pool against a search pool
@@ -247,6 +273,32 @@ object ErPipeline {
       .withColumn("matches", col("score") >= cfg.matchThreshold)
       .withColumn("comparison_ts", current_timestamp())
       .withColumn("pipeline_version", lit(cfg.pipelineVersion))
+  }
+
+  /** Ad-hoc record for the pair probe (the reference's CLI match tool,
+    * idrt/match.py:17-103: build two records, score them, report).
+    */
+  final case class ProbeRecord(
+      firstName: String, lastName: String, email: String,
+      phone: String, state: String, zip: String, lang: String = "en")
+
+  /** Score one record pair through the exact production scorer — same
+    * normalization, same features, same threshold — and return the single
+    * scored row (url1/url2 are synthetic probe ids). Triage tool: "would
+    * these two records match, and at what score?"
+    */
+  def matchProbe(spark: SparkSession, a: ProbeRecord, b: ProbeRecord,
+      cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    def row(u: String, r: ProbeRecord) =
+      (u, ts, r.lang, "", "", r.firstName, r.lastName, r.email, r.phone, r.state, r.zip)
+    val extracted = Seq(row("probe://a", a), row("probe://b", b))
+      .toDF("url", "warc_ts", "lang", "text", "extracted_text",
+        "first_name", "last_name", "email", "phone", "state", "zip")
+    val sigs = signatures(normalize(extracted), cfg)
+    val pair = Seq(("probe://a", "probe://b", "probe")).toDF("url1", "url2", "block_key")
+    scorePairs(pair, sigs, cfg)
   }
 
   // -------------------------------------------------------------------
@@ -350,11 +402,21 @@ object ErPipeline {
 
   /** Incremental run (I1 + I2 end-to-end): given the previous run's
     * signatures + scored pairs and a new snapshot of the input, only
-    * new/updated urls are re-extracted/normalized/signed, only candidate
-    * pairs touching a stale url are re-scored; untouched pairs are reused
-    * verbatim (the reference's contact_timestamp/comparison_timestamp
-    * semantics, prepare_data.py:67-77 + run_search.py:416-434). Clusters
-    * are recomputed from the merged pair table (a global operation).
+    * new/updated urls are re-extracted/normalized/signed. Candidate pairs
+    * are recomputed over the merged signatures (cheap — no scoring), then
+    * a pair is REUSED verbatim when it was scored before and neither
+    * endpoint is stale (scores are pure functions of the two records);
+    * every other current candidate is scored. This covers pairs between
+    * two non-stale records that only became candidates because a stale
+    * record shifted block membership or hot-block ranks — they are new in
+    * the candidate set, so they get scored. Previously scored pairs that
+    * dropped out of the candidate set persist (the reference keeps its
+    * comparisons table across runs, run_search.py:416-434). Clusters are
+    * recomputed from the merged pair table (a global operation).
+    *
+    * With cfg.batchLimit > 0, at most batchLimit stale rows are processed,
+    * oldest warc_ts first (url tiebreak) — the reference's per-run cap
+    * (prepare_data.py:42,63-65); the remainder stays stale for later runs.
     */
   def runIncremental(
       spark: SparkSession,
@@ -363,8 +425,10 @@ object ErPipeline {
       priorScored: DataFrame,
       cfg: Config): (Result, IncrementalStats) = {
     val prior = priorSignatures.cache()
-    val stale = staleRows(pages, prior.select(col("url"), col("warc_ts")), "url", "warc_ts")
-      .cache()
+    val staleAll = staleRows(pages, prior.select(col("url"), col("warc_ts")), "url", "warc_ts")
+    val stale =
+      (if (cfg.batchLimit > 0) staleAll.orderBy(col("warc_ts"), col("url")).limit(cfg.batchLimit)
+       else staleAll).cache()
     val nStale = stale.count()
 
     val staleSigs = signatures(normalize(extract(stale)), cfg)
@@ -373,20 +437,18 @@ object ErPipeline {
       .unionByName(staleSigs)
       .cache()
 
-    // pairs to (re)score: any candidate with a stale endpoint
     val staleUrls = stale.select(col("url"))
     val allCands = candidates(mergedSigs, cfg)
-    val staleCands = allCands
-      .join(staleUrls.withColumnRenamed("url", "url1"), Seq("url1"), "left_semi")
-      .unionByName(allCands
-        .join(staleUrls.withColumnRenamed("url", "url2"), Seq("url2"), "left_semi")
-        .select(allCands.columns.map(col): _*))
-      .groupBy("url1", "url2").agg(min("block_key").as("block_key"))
-    val rescored = scorePairs(staleCands, mergedSigs, cfg)
-
+    // reusable: previously scored AND both endpoints untouched
     val reused = priorScored
       .join(staleUrls.withColumnRenamed("url", "url1"), Seq("url1"), "left_anti")
       .join(staleUrls.withColumnRenamed("url", "url2"), Seq("url2"), "left_anti")
+      .cache()
+    // to score: every current candidate not covered by a reusable score
+    val toScore = allCands
+      .join(reused.select("url1", "url2"), Seq("url1", "url2"), "left_anti")
+    val rescored = scorePairs(toScore, mergedSigs, cfg)
+
     val mergedScored = reused
       .select(rescored.columns.map(col): _*)
       .unionByName(rescored)
@@ -394,7 +456,7 @@ object ErPipeline {
 
     val clustered = clusters(mergedSigs, mergedScored)
     val stats = IncrementalStats(nStale, rescored.count(), reused.count())
-    (Result(mergedSigs, mergedSigs, staleCands, mergedScored, clustered), stats)
+    (Result(mergedSigs, mergedSigs, toScore, mergedScored, clustered), stats)
   }
 
   // -------------------------------------------------------------------
@@ -411,14 +473,24 @@ object ErPipeline {
   /** Full run. With cfg.outRoot set, every stage goes through StageStore:
     * a re-run with unchanged inputs/params reads stages back instead of
     * recomputing (resume-from-checkpoint, north rule).
+    *
+    * Stage fingerprints CHAIN: each stage's stored fingerprint folds in
+    * every upstream stage's name and params, so changing an upstream knob
+    * (e.g. lshBits) invalidates all downstream manifests too — no stale
+    * scores/clusters served against fresh signatures.
     */
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): Result = {
-    val fp =
+    var chain =
       if (cfg.outRoot.isEmpty) ""
       else StageStore.fingerprint(pages.select("url", "warc_ts"))
-    def stage(name: String, params: Map[String, String] = Map.empty)(df: => DataFrame): DataFrame =
-      if (cfg.outRoot.isEmpty) df
-      else StageStore.runStage(spark, cfg.outRoot, name, cfg.pipelineVersion, fp, params)(df)
+    def stage(name: String, params: Map[String, String] = Map.empty)(df: => DataFrame): DataFrame = {
+      val out =
+        if (cfg.outRoot.isEmpty) df
+        else StageStore.runStage(spark, cfg.outRoot, name, cfg.pipelineVersion, chain, params)(df)
+      chain = chain + ">" + name +
+        params.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("{", ",", "}")
+      out
+    }
 
     val norm = stage("normalize")(normalize(extract(pages)))
     val sigs = stage("signatures", Map("embedDim" -> cfg.embedDim.toString,

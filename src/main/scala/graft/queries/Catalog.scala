@@ -188,6 +188,35 @@ object Catalog {
       |UNION ALL
       |SELECT event_id, round(value * 2, 2) AS value FROM events WHERE event_id % 4 = 0""".stripMargin
 
+  /** S1-S8 over a live SQL database (the reference's DatabaseAdapter,
+    * database_adapter.py:10-89): load a base table into embedded Derby,
+    * transactionally upsert an updates batch, read the table back through
+    * the JDBC source with a pushed-down predicate. The oracle computes the
+    * same merge from the parquet source directly.
+    */
+  val qJdbcRoundtrip: Q = (s, dir) => {
+    import graft.sources.JdbcStore
+    val sfName = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val url = JdbcStore.derbyUrl(s"catalog$sfName")
+    val ev = t(s, dir, "events")
+    val base = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), round(col("value"), 2).as("value"))
+    val updates = ev.filter(col("event_id") % 4 === 0)
+      .select(col("event_id"), round(col("value") * 2, 2).as("value"))
+    val types = Some("event_id BIGINT, value DOUBLE")
+    JdbcStore.overwrite(base, url, "events_base", types)
+    JdbcStore.upsert(s, updates, url, "events_base", Seq("event_id"), types)
+    JdbcStore.readWhere(s, url, "events_base", "\"event_id\" >= 0")
+      .select(col("event_id"), round(col("value"), 2).as("value"))
+  }
+
+  val qJdbcRoundtripSql: String =
+    """SELECT t.event_id, t.value FROM
+      |  (SELECT event_id, round(value, 2) AS value FROM events WHERE event_id % 2 = 0) t
+      |WHERE t.event_id NOT IN (SELECT event_id FROM events WHERE event_id % 4 = 0)
+      |UNION ALL
+      |SELECT event_id, round(value * 2, 2) AS value FROM events WHERE event_id % 4 = 0""".stripMargin
+
   // ---------------------------------------------------------------------
   // ER pipeline operators over documents (SURVEY.md par.2.2, 2.8, 2.9)
   // ---------------------------------------------------------------------
@@ -910,6 +939,7 @@ object Catalog {
     "q_anti_join" -> qAntiJoin,
     "q_incremental_stale" -> qIncrementalStale,
     "q_merge_upsert" -> qMergeUpsert,
+    "q_jdbc_roundtrip" -> qJdbcRoundtrip,
     "q_rollup" -> qRollup,
     "q_intersect_except" -> qIntersectExcept,
     "q_semi_join" -> qSemiJoin,
@@ -952,6 +982,7 @@ object Catalog {
     "q_anti_join" -> qAntiJoinSql,
     "q_incremental_stale" -> qIncrementalStaleSql,
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_jdbc_roundtrip" -> qJdbcRoundtripSql,
     "q_rollup" -> qRollupSql,
     "q_intersect_except" -> qIntersectExceptSql,
     "q_semi_join" -> qSemiJoinSql,

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC source/sink — the engine's analogue of the reference's
+  * DatabaseAdapter over a user's live SQL database
+  * (idrt/algorithm/database_adapter.py:10-89): full read, filtered read
+  * (predicate pushed down to the database), transactional upsert
+  * (database_adapter.py:59-73), bulk append (:75-89) and a table-exists
+  * probe (idrt/algorithm/utils.py table checks).
+  *
+  * Tested against embedded Derby (in /opt/spark/jars); any Spark-supported
+  * JDBC dialect works the same way. At scale the READ path partitions by a
+  * numeric column (partitionColumn/lowerBound/upperBound/numPartitions) so
+  * executors scan range slices in parallel; writes batch through
+  * executeBatch with `batchsize`.
+  */
+object JdbcStore {
+
+  /** Keep Derby's home (derby.log, relative DB paths) out of the repo. */
+  lazy val derbyHome: String = {
+    val home = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_derby")
+    home.mkdirs()
+    System.setProperty("derby.system.home", home.getPath)
+    home.getPath
+  }
+
+  /** Embedded-Derby JDBC url for a database named `db` under derbyHome. */
+  def derbyUrl(db: String): String = {
+    derbyHome // force the system property before the driver loads
+    s"jdbc:derby:$db;create=true"
+  }
+
+  private def props: Properties = new Properties()
+
+  def read(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Filtered read: the predicate ships to the database inside the dbtable
+    * subquery, so only matching rows cross the wire (the reference's
+    * load_data(..., condition) shape). Spark-written tables have QUOTED,
+    * case-preserved column names — quote identifiers in the predicate
+    * (e.g. `"event_id" >= 0`).
+    */
+  def readWhere(spark: SparkSession, url: String, table: String, predicate: String): DataFrame =
+    spark.read.jdbc(url, s"(SELECT * FROM $table WHERE $predicate) sub", props)
+
+  /** Partition-parallel read for large tables: each executor scans one
+    * range slice of `partitionColumn` — the only JDBC read shape that
+    * scales past a single connection.
+    */
+  def readPartitioned(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lower: Long, upper: Long, numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lower, upper, numPartitions, props)
+
+  def tableExists(url: String, table: String): Boolean = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      try rs.next() finally rs.close()
+    } finally conn.close()
+  }
+
+  /** Bulk append (database_adapter.py:75-89). `columnTypes` overrides the
+    * dialect's default DDL types on table creation (Derby would otherwise
+    * map strings to CLOB, which cannot be compared or keyed).
+    */
+  def append(df: DataFrame, url: String, table: String,
+      columnTypes: Option[String] = None): Unit = {
+    val w = df.write.mode("append")
+    columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .jdbc(url, table, props)
+  }
+
+  /** Full overwrite (drop + recreate + insert). */
+  def overwrite(df: DataFrame, url: String, table: String,
+      columnTypes: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .jdbc(url, table, props)
+  }
+
+  /** Transactional upsert (database_adapter.py:59-73 semantics): rows of
+    * `updates` replace target rows with matching `keyCols`; new keys are
+    * inserted. The updates land in a staging table first, then a single
+    * transaction deletes superseded rows and inserts the staging content —
+    * readers never observe a half-applied batch.
+    */
+  def upsert(
+      spark: SparkSession, updates: DataFrame, url: String, table: String,
+      keyCols: Seq[String], columnTypes: Option[String] = None): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val staging = table + "_staging"
+    overwrite(updates, url, staging, columnTypes)
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val keyMatch = keyCols
+        .map(k => s"s.${q(k)} = t.${q(k)}")
+        .mkString(" AND ")
+      val cols = updates.columns.map(q).mkString(", ")
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $staging s WHERE $keyMatch)")
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+        conn.commit()
+        st.executeUpdate(s"DROP TABLE $staging")
+        conn.commit()
+      } finally st.close()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
+
+  private def q(ident: String): String = "\"" + ident + "\""
+}

@@ -21,15 +21,19 @@ object StreamingOps {
     * table, executed as a stream. Returns the final result table.
     */
   /** Streaming file sources need a directory: point at the parent with a
-    * glob filter when given a single parquet file.
+    * glob filter when given a single parquet file. maxFilesPerTrigger
+    * splits directory inputs into multiple micro-batches — the stateful
+    * operators must stay correct under any batch split.
     */
-  private def streamParquet(spark: SparkSession, path: String) = {
+  private def streamParquet(
+      spark: SparkSession, path: String, maxFilesPerTrigger: Option[Int] = None) = {
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
+    val base = spark.readStream.schema(schema)
+    val withMax = maxFilesPerTrigger.fold(base)(m => base.option("maxFilesPerTrigger", m))
     if (f.isFile || path.endsWith(".parquet"))
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", f.getName).parquet(f.getParent)
-    else spark.readStream.schema(schema).parquet(path)
+      withMax.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else withMax.parquet(path)
   }
 
   def windowedEventAgg(spark: SparkSession, eventsParquet: String): DataFrame = {
@@ -61,26 +65,33 @@ object StreamingOps {
   /** Custom streaming state via KeyValueGroupedDataset.flatMapGroupsWithState:
     * first-seen-wins dedup per key — the streaming analogue of the
     * pipeline's incremental "skip already-processed urls" semantics (I1).
-    * Each key's state records whether it has emitted; the first batch
-    * emits the key's earliest event (ties broken by event_id).
+    *
+    * Correct under ANY micro-batch split (directory sources,
+    * maxFilesPerTrigger): the state holds the best-so-far (ts, event_id)
+    * per key, and a batch emits a row only when it improves the best — a
+    * CDC-style changelog. The sink side compacts the changelog to the
+    * per-key minimum, which equals the batch oracle regardless of how
+    * events were split across batches (a later batch carrying an
+    * earlier-timestamped event supersedes the earlier emission).
     */
-  def firstSeenPerUser(spark: SparkSession, eventsParquet: String): DataFrame = {
+  def firstSeenPerUser(
+      spark: SparkSession, eventsParquet: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val stream = streamParquet(spark, eventsParquet)
+    val stream = streamParquet(spark, eventsParquet, maxFilesPerTrigger)
       .withColumn("ts", col("ts").cast("timestamp"))
       .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
     val deduped = stream
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, evs: Iterator[Ev], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            // the single-file AvailableNow source delivers one batch, so
-            // the per-batch minimum is the global first
-            Iterator(evs.minBy(e => (e.ts.getTime, e.event_id)))
-          }
+        (_: Long, evs: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          val incoming = evs.minBy(e => (e.ts.getTime, e.event_id))
+          val key = (incoming.ts.getTime, incoming.event_id)
+          val improves = state.getOption.forall(best =>
+            key._1 < best._1 || (key._1 == best._1 && key._2 < best._2))
+          if (improves) { state.update(key); Iterator(incoming) }
+          else Iterator.empty
       }
     val name = s"graft_stream_first_${counter.incrementAndGet()}"
     val q = deduped.toDF().writeStream
@@ -90,10 +101,16 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).select(
-      col("user_id"), col("event_id"),
-      col("ts").cast("timestamp_ntz").as("ts"),
-      col("event_type"), round(col("value"), 2).as("value"))
+    // changelog compaction: per key, the final best is the minimum emitted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    spark.table(name)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(
+        col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), round(col("value"), 2).as("value"))
   }
 
   /** Stateful per-user sessionization via flatMapGroupsWithState-style

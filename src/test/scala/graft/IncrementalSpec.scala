@@ -55,4 +55,40 @@ class IncrementalSpec extends SparkSpec {
     val fullClusters = fullRes.clusters.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(incClusters === fullClusters)
   }
+
+  test("batchLimit caps an incremental run at the oldest stale rows") {
+    val cfg = ErPipeline.Config()
+    val pages0 = WebPageGen.pages(spark, 40L).toDF.cache()
+    val full0 = ErPipeline.run(spark, pages0, cfg)
+    val sigs0 = full0.signatures.cache()
+    val scored0 = full0.scored.cache()
+    scored0.count()
+
+    // bump 12 urls; cap the run at 5 -> exactly the 5 oldest get processed
+    val bumped = pages0.orderBy("url").limit(12)
+      .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1 DAY"))
+    val pages1 = pages0
+      .join(bumped.select("url"), Seq("url"), "left_anti")
+      .unionByName(bumped)
+      .cache()
+    val capped = cfg.copy(batchLimit = 5)
+    // drain in rounds of <= 5 until no rows are stale: 12 rows -> 5, 5, 2.
+    // localCheckpoint between rounds truncates lineage, as a real caller
+    // materializing each increment would (checkpoint/Iceberg commit).
+    var sigs = sigs0
+    var scored = scored0
+    var processed = Seq.empty[Long]
+    var done = false
+    while (!done && processed.size < 6) {
+      val (res, st) = ErPipeline.runIncremental(spark, pages1, sigs, scored, capped)
+      if (st.staleRowCount == 0L) done = true
+      else {
+        processed :+= st.staleRowCount
+        sigs = res.signatures.localCheckpoint(true)
+        scored = res.scored.localCheckpoint(true)
+      }
+    }
+    assert(processed === Seq(5L, 5L, 2L),
+      s"12 rows at batchLimit=5 should drain oldest-first in 3 rounds, got $processed")
+  }
 }

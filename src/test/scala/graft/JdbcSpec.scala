@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.JdbcStore
+
+/** JDBC source/sink semantics against embedded Derby — the reference's
+  * DatabaseAdapter surface (database_adapter.py:10-89): upsert replaces
+  * matched keys and inserts new ones atomically, bulk append appends,
+  * filtered reads push the predicate into the database, table probes work.
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = JdbcStore.derbyUrl(s"spec_${System.nanoTime()}")
+  private val types = Some("id BIGINT, name VARCHAR(64)")
+
+  test("upsert: updates replace matched keys, new keys insert (S6)") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    JdbcStore.overwrite(base, url, "contacts", types)
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("id", "name")
+    JdbcStore.upsert(spark, updates, url, "contacts", Seq("id"), types)
+    val got = JdbcStore.read(spark, url, "contacts")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    // staging table is cleaned up after the transaction
+    assert(!JdbcStore.tableExists(url, "contacts_staging"))
+  }
+
+  test("upsert is idempotent (same batch twice -> same table)") {
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("id", "name")
+    JdbcStore.upsert(spark, updates, url, "contacts", Seq("id"), types)
+    val got = JdbcStore.read(spark, url, "contacts").count()
+    assert(got === 4)
+  }
+
+  test("bulk append adds rows without touching existing ones (S7)") {
+    JdbcStore.append(Seq((5L, "e")).toDF("id", "name"), url, "contacts", types)
+    val got = JdbcStore.read(spark, url, "contacts")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.contains((5L, "e")) && got.size === 5)
+  }
+
+  test("filtered read ships the predicate to the database (S4)") {
+    val got = JdbcStore.readWhere(spark, url, "contacts", "\"id\" >= 4")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(4L, 5L))
+    // Catalyst-side filters also push down into the JDBC scan
+    val plan = JdbcStore.read(spark, url, "contacts").filter(col("id") > 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan.take(400))
+  }
+
+  test("table-exists probe (S8)") {
+    assert(JdbcStore.tableExists(url, "contacts"))
+    assert(!JdbcStore.tableExists(url, "no_such_table"))
+  }
+}

@@ -80,6 +80,38 @@ class PipelineSpec extends SparkSpec {
     assert(f1AtDefault >= 0.99, s"default threshold f1=$f1AtDefault")
   }
 
+  test("n_closest-style candidate cap bounds fan-out without hurting F1") {
+    val capCfg = cfg.copy(maxCandidatesPerRecord = 50)
+    val norm = ErPipeline.normalize(ErPipeline.extract(pages))
+    val sigs = ErPipeline.signatures(norm, capCfg).cache()
+    val cands = ErPipeline.candidates(sigs, capCfg).cache()
+    // hard bound holds per record
+    val maxFan = cands.groupBy("url1").count().agg(max("count")).head().getLong(0)
+    assert(maxFan <= 50, s"cap violated: a record emitted $maxFan pairs")
+    // schema identical to the uncapped path (internal rank cols dropped)
+    assert(cands.columns.toSeq === Seq("url1", "url2", "block_key"))
+    // recall on labeled duplicates survives the cap (true pairs share the
+    // most keys, so they rank first)
+    val scored = ErPipeline.scorePairs(cands, sigs, capCfg)
+    val labeled = WebPageGen.labeledPairs(spark, N)
+    val f1 = ErPipeline.labeledPairMetrics(scored, labeled).head().getAs[Double]("f1")
+    info(s"capped f1=$f1")
+    assert(f1 >= 0.99, s"F1 $f1 under candidate cap")
+  }
+
+  test("matchProbe scores an ad-hoc pair with production semantics") {
+    import ErPipeline.ProbeRecord
+    val same = ErPipeline.matchProbe(spark,
+      ProbeRecord("Ada", "Lovelace", "ada@calc.org", "555-0100", "NY", "10001"),
+      ProbeRecord("Ada", "Lovelace", "ada@calc.org", "(555) 0100", "ny", "10001")).head()
+    assert(same.getAs[Boolean]("matches"), s"identical contact should match: $same")
+    val diff = ErPipeline.matchProbe(spark,
+      ProbeRecord("Ada", "Lovelace", "ada@calc.org", "555-0100", "NY", "10001"),
+      ProbeRecord("Zed", "Quux", "zq@other.net", "555-9999", "CA", "94016")).head()
+    assert(!diff.getAs[Boolean]("matches"), s"unrelated contact should not match: $diff")
+    assert(same.getAs[Double]("score") > diff.getAs[Double]("score"))
+  }
+
   test("incremental staleRows picks exactly new/updated urls (I1)") {
     import spark.implicits._
     val prior = pages.select(col("url"), col("warc_ts")).limit(900)

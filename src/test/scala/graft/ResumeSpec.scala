@@ -74,6 +74,25 @@ class ResumeSpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("changing an upstream stage param invalidates all downstream stages") {
+    val root = tmpRoot()
+    try {
+      val pages = WebPageGen.pages(spark, 40L).toDF
+      ErPipeline.run(spark, pages, ErPipeline.Config(outRoot = root))
+      val scores1 = Files.readAllBytes(Paths.get(root, "scores", "manifest.json"))
+      val clusters1 = Files.readAllBytes(Paths.get(root, "clusters", "manifest.json"))
+      // lshBits is a SIGNATURES-stage param; scores/clusters params are
+      // unchanged — without fingerprint chaining they would be served stale
+      ErPipeline.run(spark, pages, ErPipeline.Config(outRoot = root, lshBits = 12))
+      val scores2 = Files.readAllBytes(Paths.get(root, "scores", "manifest.json"))
+      val clusters2 = Files.readAllBytes(Paths.get(root, "clusters", "manifest.json"))
+      assert(scores2.toSeq !== scores1.toSeq,
+        "scores stage must recompute when an upstream param changes")
+      assert(clusters2.toSeq !== clusters1.toSeq,
+        "clusters stage must recompute when an upstream param changes")
+    } finally rmrf(root)
+  }
+
   test("full pipeline run resumes mid-pipeline with identical final output") {
     val root = tmpRoot()
     try {

@@ -80,6 +80,45 @@ class TextStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("first-seen state is correct under multi-batch delivery") {
+    // two files, delivered as separate micro-batches (maxFilesPerTrigger=1),
+    // where the SECOND batch carries the earlier event for user 1 — the
+    // cross-batch state must supersede batch 1's emission
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_mb").toFile
+    val f1 = new java.io.File(dir, "b1")
+    val f2 = new java.io.File(dir, "b2")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    Seq(
+      (10L, ts(5), 1L, "view", 1.0),
+      (11L, ts(3), 2L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(f1.getPath)
+    Seq(
+      (12L, ts(2), 1L, "click", 3.0), // earlier than user 1's batch-1 event
+      (13L, ts(7), 2L, "click", 4.0)) // later than user 2's batch-1 event
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(f2.getPath)
+    // file source orders batches by modification time: make b2 strictly newer
+    val now = System.currentTimeMillis()
+    f1.listFiles().foreach(_.setLastModified(now - 60000))
+    f2.listFiles().foreach(_.setLastModified(now))
+    // single flat dir of parquet part files
+    val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    Seq(f1, f2).zipWithIndex.foreach { case (d, i) =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (pf, j) =>
+          val tgt = new java.io.File(flat, s"part-$i-$j.parquet")
+          java.nio.file.Files.copy(pf.toPath, tgt.toPath)
+          tgt.setLastModified(now - (1 - i) * 60000)
+      }
+    }
+    val got = StreamingOps.firstSeenPerUser(spark, flat.getPath, maxFilesPerTrigger = Some(1))
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 12L), (2L, 11L)),
+      s"multi-batch first-seen diverged from the batch oracle: $got")
+  }
+
   test("streaming sessionization produces non-overlapping per-user sessions") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val sessions = StreamingOps.sessionize(spark, path, 10)
