@@ -59,6 +59,13 @@ object Bench {
     val pipelineSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nPages / pipelineSec
 
+    spark.stop()
+
+    // N-vs-4N scaling evidence is NOT measured here: a same-JVM sequential
+    // pair (warm heap, ordering bias, fixed-cost-dominated small corpus) is
+    // methodologically unsound. scripts/scaling_with_ceiling.sh measures it
+    // properly (fresh JVM per level, 1.35M pages, hardware-ceiling
+    // bracketing); results live in BASELINE.md "Scaling efficiency".
     val qs = ok.map(r => "\"" + r.name + "\":" + f"${r.sec}%.3f")
       .mkString("{", ",", "}")
     val fs = failed.map(r => "\"" + r.name + "\":\"" + r.error.get + "\"")
@@ -72,7 +79,6 @@ object Bench {
         s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
     // last line of program output, after Spark's shutdown logging
     println(json)
   }

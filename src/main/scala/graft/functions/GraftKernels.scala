@@ -361,9 +361,33 @@ object GraftKernels {
     key
   }
 
-  /** MinHash signature over word w-shingles: k independent min-hashes
-    * (seeded splitmix64 remixes of each shingle's base hash). Returns a
-    * long[k] signature. Distributed LSH banding happens on top of this in
+  /** Per-k affine permutation coefficients (odd multiplier + offset),
+    * derived deterministically from splitmix64 — the standard
+    * pairwise-independent MinHash family h_t(x) = a_t*x + b_t over one
+    * strong hash per shingle. Cached per k: the hot loop is then one
+    * multiply-add per (shingle, t) instead of a full mix64.
+    */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def perms(k: Int): (Array[Long], Array[Long]) = {
+    val cached = permCache.get(k)
+    if (cached != null) return cached
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var t = 0
+    while (t < k) {
+      a(t) = mix64(0xA5EED * k + t) | 1L // odd -> bijective mod 2^64
+      b(t) = mix64(0xB0FFE * k + t)
+      t += 1
+    }
+    permCache.putIfAbsent(k, (a, b))
+    (a, b)
+  }
+
+  /** MinHash signature over word w-shingles: one strong (splitmix64) hash
+    * per shingle, then k affine permutations of it. Returns a long[k]
+    * signature. Distributed LSH banding happens on top of this in
     * operators.Dedup (band keys -> equi self-join) — the classic
     * shingle -> minhash -> band -> bucket-join near-dup pipeline.
     */
@@ -371,6 +395,7 @@ object GraftKernels {
     val words = splitWords(s.toString)
     val sig = Array.fill(k)(Long.MaxValue)
     if (words.isEmpty) return new GenericArrayData(sig)
+    val (pa, pb) = perms(k)
     val nSh = math.max(1, words.length - shingleWidth + 1)
     var i = 0
     while (i < nSh) {
@@ -384,10 +409,11 @@ object GraftKernels {
         base = base * 1099511628211L + 0x20
         j += 1
       }
+      val h = mix64(base)
       var t = 0
       while (t < k) {
-        val h = mix64(base ^ (t * -6148914691236517205L + 1442695040888963407L))
-        if (h < sig(t)) sig(t) = h
+        val v = pa(t) * h + pb(t)
+        if (v < sig(t)) sig(t) = v
         t += 1
       }
       i += 1

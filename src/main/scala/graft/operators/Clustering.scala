@@ -75,8 +75,10 @@ object Clustering {
       val attachCenter = mins2.select($"m".as("u"), $"v")
       val small = attachNeighbors.unionByName(attachCenter).distinct()
 
-      // 2 jobs per round: materialize (lineage cut) + signature agg
-      val checkpointed = small.localCheckpoint(true)
+      // 1 job per round: a LAZY localCheckpoint materializes inside the
+      // signature agg's action, so lineage cut + convergence check share
+      // one job (round latency, not data volume, dominates small inputs)
+      val checkpointed = small.localCheckpoint(false)
       val s = sig(checkpointed)
       e = checkpointed
       converged = s == prevSig
