@@ -71,6 +71,9 @@ object GraftExtensions {
     register("sorted_overlap", "sorted_overlap(a, b) - common count of two sorted long arrays") {
       case Seq(a, b) => SortedOverlap(a, b)
     }
+    register("shingle_hashes", "shingle_hashes(s, w) - sorted distinct word w-shingle hashes") {
+      case Seq(a, w) => ShingleHashes(a, intArg(w, "width"))
+    }
     register("rolling_minhash", "rolling_minhash(s, w) - min rolling char-shingle hash") {
       case Seq(a, w) => RollingMinHash(a, intArg(w, "width"))
     }

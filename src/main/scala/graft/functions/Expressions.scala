@@ -145,6 +145,21 @@ case class RhpKey(child: Expression, bits: Int, seed: Long)
   override def prettyName: String = "rhp_key"
 }
 
+/** shingle_hashes(str, w) -> sorted distinct array<long> of word w-shingle
+  * hashes — the set side of the exact-Jaccard verifier (one pass, no
+  * string-array materialization; pairs with sorted_overlap).
+  */
+case class ShingleHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftKernels.shingleHashes64(v.asInstanceOf[UTF8String], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.shingleHashes64($c, $width)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
 /** minhash_sig(str, k, shingleWidth) -> array<long> signature. */
 case class MinHashSig(child: Expression, k: Int, shingleWidth: Int)
     extends UnaryExpression {
@@ -210,6 +225,9 @@ object Similarity {
 
   def minHashSig(c: Column, k: Int, shingleWidth: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k, shingleWidth))
+
+  def shingleHashes(c: Column, width: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(c), width))
 
   def sortedOverlap(a: Column, b: Column): Column =
     GraftBridge.column(SortedOverlap(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -421,6 +421,44 @@ object GraftKernels {
     new GenericArrayData(sig)
   }
 
+  /** Sorted DISTINCT 64-bit hashes of the word w-shingles of an
+    * already-canonical (lowercased, single-spaced) string — the one-pass
+    * kernel behind Dedup.shingleHashes. Semantics mirror the Catalyst
+    * composition it replaces: fewer than w words (including the empty
+    * string) yield exactly one shingle over all words, so set cardinality
+    * — the only thing Jaccard sees — is identical; hash values only need
+    * to be injective on distinct shingles, not to match any external hash.
+    */
+  def shingleHashes64(s: UTF8String, w: Int): ArrayData = {
+    val words = splitWords(s.toString)
+    val nSh = math.max(1, words.length - w + 1)
+    val out = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 1469598103934665603L
+      var j = i
+      val end = math.min(words.length, i + w)
+      while (j < end) {
+        val word = words(j)
+        var c = 0
+        while (c < word.length) { h = 31 * h + word.charAt(c); c += 1 }
+        h = h * 1099511628211L + 0x20
+        j += 1
+      }
+      out(i) = mix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var n = 0
+    i = 0
+    while (i < nSh) {
+      if (n == 0 || out(i) != out(n - 1)) { out(n) = out(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (n == nSh) out else java.util.Arrays.copyOf(out, n))
+  }
+
   private def splitWords(s: String): Array[String] = {
     if (s.isEmpty) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
