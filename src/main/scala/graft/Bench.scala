@@ -35,11 +35,15 @@ object Bench {
     graft.queries.Catalog.queries.get("er_blocking_pairs")
       .foreach(q => q(spark, "/root/testdata/sf0.001").count())
 
+    // noop sink, not count(): count() lets Catalyst PRUNE every unused
+    // column, so a projection query's expensive expressions would never
+    // run — the noop write forces full evaluation of all output columns
+    // (what Verify's parquet write and any real consumer pays).
     final case class R(name: String, sec: Double, error: Option[String])
     val results = graft.queries.Catalog.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       R(name, (System.nanoTime() - t0) / 1e9, err)
     }

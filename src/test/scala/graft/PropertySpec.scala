@@ -90,6 +90,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shingle-hash kernel jaccard equals string-set jaccard (oracle parity)") {
+    import org.apache.spark.unsafe.types.UTF8String.fromString
+    // reference semantics of the Catalyst composition the kernel replaced:
+    // distinct word 3-grams joined by spaces; < 3 words -> the whole text
+    def stringShingles(canon: String, w: Int): Set[String] = {
+      val words = canon.split(" ").filter(_.nonEmpty)
+      if (words.length >= w) words.sliding(w).map(_.mkString(" ")).toSet
+      else Set(words.mkString(" "))
+    }
+    def kernelSet(canon: String, w: Int): IndexedSeq[Long] = {
+      val a = GraftKernels.shingleHashes64(fromString(canon), w)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    val wordLists = samples(Gen.listOfN(25, Gen.identifier.map(_.take(5))), 150)
+    val drops = samples(Gen.choose(0, 15), 150)
+    wordLists.zip(drops).foreach { case (words, drop) =>
+      val a = words.mkString(" ")
+      val b = words.drop(drop).mkString(" ")
+      val (ka, kb) = (kernelSet(a, 3), kernelSet(b, 3))
+      // sorted + distinct invariants (sorted_overlap's precondition)
+      assert(ka === ka.distinct.sorted)
+      val (sa, sb) = (stringShingles(a, 3), stringShingles(b, 3))
+      assert(ka.size === sa.size, s"cardinality mismatch for '${a.take(40)}'")
+      val kInter = GraftKernels.sortedOverlap(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ka.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(kb.toArray))
+      assert(kInter === sa.intersect(sb).size,
+        s"intersection mismatch for drop=$drop '${a.take(40)}'")
+    }
+  }
+
   test("sorted overlap equals set intersection size") {
     val rnd = new scala.util.Random(11)
     (1 to 100).foreach { _ =>
