@@ -55,4 +55,12 @@ class JdbcSpec extends SparkSpec {
     assert(JdbcStore.tableExists(url, "contacts"))
     assert(!JdbcStore.tableExists(url, "no_such_table"))
   }
+
+  test("partition-parallel read covers all rows exactly once") {
+    val got = JdbcStore.readPartitioned(spark, url, "contacts", "\"id\"",
+      lower = 1L, upper = 6L, numPartitions = 3)
+    assert(got.rdd.getNumPartitions === 3)
+    val ids = got.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L, 4L, 5L), s"range slicing lost/duplicated rows: $ids")
+  }
 }
