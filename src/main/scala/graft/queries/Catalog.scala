@@ -295,8 +295,8 @@ object Catalog {
         col("lang"),
         col("source"),
         Normalize.normalizeField(Seq(col("text")), 60).as("text_norm"))
-      .repartition(col("lang"), col("source"), col("doc_id"))
-    val lhs = docs.select(
+    // spread only the probe side; the build side broadcasts
+    val lhs = docs.repartition(col("lang"), col("source"), col("doc_id")).select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id1"), col("text_norm").as("t1"))
     val rhs = docs.select(
@@ -389,9 +389,12 @@ object Catalog {
   val erScores: Q = (s, dir) => {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
-      .repartition(col("c_nationkey"), col("c_custkey"))
-    val a = c.select(col("c_nationkey"), col("c_mktsegment"),
-      col("c_custkey").as("k1"), col("c_name").as("n1"))
+    // only the probe side needs spreading (single-split parquet would
+    // otherwise pair in one task); the build side gets broadcast, where a
+    // repartition would be a wasted exchange
+    val a = c.repartition(col("c_nationkey"), col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_mktsegment"),
       col("c_custkey").as("k2"), col("c_name").as("n2"))
     a.join(b, Seq("c_nationkey", "c_mktsegment"))
@@ -420,9 +423,9 @@ object Catalog {
   val erTopkCandidates: Q = (s, dir) => {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
-      .repartition(col("c_nationkey"), col("c_mktsegment"), col("c_custkey"))
-    val a = c.select(col("c_nationkey"), col("c_mktsegment"),
-      col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val a = c.repartition(col("c_nationkey"), col("c_mktsegment"), col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_mktsegment"),
       col("c_custkey").as("k2"), col("c_name").as("n2"))
     val scored = a.join(b, Seq("c_nationkey", "c_mktsegment"))
@@ -525,9 +528,9 @@ object Catalog {
   val erWrongPairs: Q = (s, dir) => {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
-      .repartition(col("c_nationkey"), col("c_custkey"))
-    val a = c.select(col("c_nationkey"), col("c_mktsegment"),
-      col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val a = c.repartition(col("c_nationkey"), col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_mktsegment"),
       col("c_custkey").as("k2"), col("c_name").as("n2"))
     // The scores travel inside a generator (explode of a 1-element struct
