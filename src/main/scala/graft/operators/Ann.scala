@@ -64,6 +64,113 @@ object Ann {
       .select("query_id", "neighbor_id", "rk")
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    * partitions the corpus into `cells` inverted lists; each query probes
+    * its `nProbe` nearest cells and re-ranks exactly within them. Probing
+    * cost ~ nProbe/cells of the corpus instead of all of it.
+    *
+    * The quantizer trains DRIVER-SIDE on a bounded, hash-ordered sample
+    * (standard IVF practice — training never needs the full corpus), which
+    * keeps it fully deterministic: distributed float aggregation would
+    * make centroids partition-order-dependent and flip borderline
+    * assignments run to run. Assignment + probing are pure functions of
+    * the trained centroids, executed as broadcast-literal cosine
+    * expressions inside codegen.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, embCol: String, k: Int,
+      cells: Int = 16, nProbe: Int = 4,
+      sampleN: Int = 4096, iters: Int = 8): DataFrame = {
+    val sample = corpus
+      .select(col(embCol).cast("array<float>").as("e"), xxhash64(col(cId)).as("_h"))
+      .orderBy(col("_h"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("e").toArray)
+    val centroids = trainKMeans(sample, cells, iters)
+
+    def cellSims(e: org.apache.spark.sql.Column) = array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(
+          Similarity.cosineSim(e, typedLit(c.toSeq)).as("sim"),
+          lit(i).as("cell"))
+    }: _*)
+    // corpus rows land in their single nearest cell (max cosine, min-index
+    // tiebreak via struct ordering on (sim desc -> take max struct))
+    val corpusCells = corpus.select(
+      col(cId).as("neighbor_id"), col(embCol).cast("array<double>").as("ce"))
+      .withColumn("cell", array_max(cellSims(col("ce"))).getField("cell"))
+    // queries probe their nProbe nearest cells
+    val queryCells = queries.select(
+      col(qId).as("query_id"), col(embCol).cast("array<double>").as("qe"))
+      .withColumn("probe", slice(reverse(array_sort(cellSims(col("qe")))), 1, nProbe))
+      .select(col("query_id"), col("qe"), explode(col("probe")).as("p"))
+      .select(col("query_id"), col("qe"), col("p.cell").as("cell"))
+    val cands = queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Similarity.cosineSim(col("qe"), col("ce")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk")
+  }
+
+  /** Deterministic driver-side Lloyd iterations: centroids initialized
+    * from the first `cells` sample vectors, empty cells re-seeded from the
+    * sample, components rounded to 1e-6 each round to pin float identity.
+    */
+  private[operators] def trainKMeans(
+      sample: Array[Array[Float]], cells: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF training sample is empty")
+    val dim = sample.head.length
+    def cosine(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        val x = a(i); val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents = Array.tabulate(math.min(cells, sample.length))(i =>
+      sample(i).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+        while (c < cents.length) {
+          val s = cosine(cents(c), v)
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) sample(c % sample.length).map(_.toDouble) // re-seed
+        else sums(c).map(x => math.rint(x / counts(c) * 1e6) / 1e6)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Recall of the IVF path vs the exact baseline (self-check metric). */
+  def ivfRecall(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, embCol: String, k: Int,
+      cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, qId, cId, embCol, k)
+    val approx = ivfTopK(queries, corpus, qId, cId, embCol, k, cells, nProbe)
+    exact.join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+      Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("recall"),
+        count(lit(1)).as("n"))
+  }
+
   /** Recall of the LSH path vs the exact baseline (self-check metric). */
   def lshRecall(
       queries: DataFrame, corpus: DataFrame,

@@ -783,6 +783,32 @@ object Catalog {
       .select(col("n"), (col("recall") >= 0.9).as("recall_ok"))
   }
 
+  /** IVF-bucketed ANN recall vs the exact baseline (the second scale path
+    * complementing LSH: k-means coarse quantizer + nProbe cell probing +
+    * exact re-rank). Same driver-checkable shape as ann_lsh_recall; the
+    * quantizer trains deterministically on a hash-ordered sample, so the
+    * boolean is stable. Floor 0.7: these synthetic embeddings are
+    * structureless (top-5 neighbors sit in the random bulk), which is a
+    * coarse quantizer's WORST case — measured 0.79-0.84 across SFs at a
+    * 50% probe fraction here, vs ~1.0 on clusterable vectors (AnnSpec).
+    */
+  val annIvfRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Ann.ivfRecall(e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", 5,
+      cells = 16, nProbe = 8)
+      .select(col("n"), (col("recall") >= 0.7).as("recall_ok"))
+  }
+
+  val annIvfRecallSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n, true AS recall_ok FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rk
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 20)
+      |WHERE rk <= 5""".stripMargin
+
   val annLshRecallSql: String =
     """SELECT CAST(count(*) AS BIGINT) AS n, true AS recall_ok FROM (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -974,6 +1000,7 @@ object Catalog {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_lsh_recall" -> annLshRecall,
+    "ann_ivf_recall" -> annIvfRecall,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -1017,6 +1044,7 @@ object Catalog {
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "ann_bruteforce_topk" -> annBruteforceTopkSql,
     "ann_lsh_recall" -> annLshRecallSql,
+    "ann_ivf_recall" -> annIvfRecallSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

@@ -150,6 +150,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low")
   }
 
+  test("ann IVF recall is high on genuinely clustered vectors") {
+    import graft.functions.GraftKernels.mix64
+    val e = (0L until 200L).map { i =>
+      val c = (i % 20).toInt
+      val base = Array.tabulate(16)(d => math.sin(c * 2.1 + d * 0.9))
+      val v = base.zipWithIndex.map { case (x, d) =>
+        (x + 1e-2 * (mix64(i * 16 + d).toDouble / Long.MaxValue)).toFloat }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val r = Ann.ivfRecall(e.filter($"vec_id" < 20), e, "vec_id", "vec_id",
+      "embedding", 5, cells = 20, nProbe = 3).head()
+    val recall = r.getDouble(0)
+    info(s"ivf recall=$recall (probing 3/20 cells)")
+    assert(recall >= 0.9, s"IVF recall $recall too low on clustered vectors")
+    // deterministic: trained on a hash-ordered sample, driver-side Lloyd
+    val again = Ann.ivfRecall(e.filter($"vec_id" < 20), e, "vec_id", "vec_id",
+      "embedding", 5, cells = 20, nProbe = 3).head().getDouble(0)
+    assert(recall === again)
+  }
+
   test("multimodal stub: schema, determinism, batch shape") {
     val media = docs.limit(10)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"), lit("image").as("kind"))
