@@ -94,6 +94,10 @@ object JdbcStore {
       spark: SparkSession, updates: DataFrame, url: String, table: String,
       keyCols: Seq[String], columnTypes: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    if (!tableExists(url, table)) { // first batch bootstraps the target
+      overwrite(updates, url, table, columnTypes)
+      return
+    }
     val staging = table + "_staging"
     overwrite(updates, url, staging, columnTypes)
     val conn = DriverManager.getConnection(url)

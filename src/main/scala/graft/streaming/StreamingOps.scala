@@ -113,6 +113,58 @@ object StreamingOps {
         col("event_type"), round(col("value"), 2).as("value"))
   }
 
+  /** Stream -> SQL-database upsert: the first-seen changelog (emitted only
+    * when a key's best improves) lands in the JDBC store via foreachBatch,
+    * each micro-batch one transactional upsert keyed by user_id — the
+    * streaming face of the reference's DatabaseAdapter sink
+    * (database_adapter.py:59-73). Because later batches can carry
+    * earlier-timestamped events, the upsert's replace-on-key semantics is
+    * exactly what makes the target converge to the batch answer under any
+    * batch split (CDC compaction).
+    */
+  def firstSeenToJdbc(
+      spark: SparkSession, eventsParquet: String,
+      jdbcUrl: String, table: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = streamParquet(spark, eventsParquet, maxFilesPerTrigger)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    val changelog = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          val incoming = evs.minBy(e => (e.ts.getTime, e.event_id))
+          val key = (incoming.ts.getTime, incoming.event_id)
+          val improves = state.getOption.forall(best =>
+            key._1 < best._1 || (key._1 == best._1 && key._2 < best._2))
+          if (improves) { state.update(key); Iterator(incoming) }
+          else Iterator.empty
+      }
+    val types = Some(
+      "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type VARCHAR(32), value DOUBLE")
+    val q = changelog.toDF()
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // a batch may carry several improvements per key across input
+          // files; keep each key's best before the keyed upsert
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          val best = batch.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") === 1).drop("_rk")
+          graft.sources.JdbcStore.upsert(
+            batch.sparkSession, best, jdbcUrl, table, Seq("user_id"), types)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stateful per-user sessionization via flatMapGroupsWithState-style
     * semantics, expressed with the declarative session_window — gaps over
     * `gapMinutes` start a new session.

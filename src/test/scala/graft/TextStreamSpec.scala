@@ -119,6 +119,25 @@ class TextStreamSpec extends SparkSpec {
       s"multi-batch first-seen diverged from the batch oracle: $got")
   }
 
+  test("streaming changelog upserts converge the JDBC target to the batch answer") {
+    import graft.sources.JdbcStore
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val url = JdbcStore.derbyUrl(s"stream_${System.nanoTime()}")
+    StreamingOps.firstSeenToJdbc(spark, path, url, "first_seen")
+    val got = JdbcStore.read(spark, url, "first_seen")
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = spark.read.parquet(path)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy($"ts", $"event_id")))
+      .filter($"rk" === 1)
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionization produces non-overlapping per-user sessions") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val sessions = StreamingOps.sessionize(spark, path, 10)
