@@ -216,15 +216,28 @@ object ErPipeline {
   /** G1 Pooled mode: match a source pool against a search pool
     * (reference: run_search.py:34-47; pair order is source-first, NOT
     * canonicalized — run_search.py:183-193 keeps slots). Unpooled /
-    * PooledReflective self-matching is `candidates` above.
+    * PooledReflective self-matching is `candidates` above. The same
+    * n_closest-style cap applies per SOURCE record (the pool the reference
+    * caps its ANN lookups for).
     */
-  def candidatesPooled(sourceSigs: DataFrame, searchSigs: DataFrame): DataFrame = {
+  def candidatesPooled(sourceSigs: DataFrame, searchSigs: DataFrame,
+      cfg: Config = Config()): DataFrame = {
     val src = sourceSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url1"))
     val sea = searchSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url2"))
-    src.join(sea, Seq("bk"))
+    val deduped = src.join(sea, Seq("bk"))
       .filter(col("url1") =!= col("url2"))
       .groupBy("url1", "url2")
-      .agg(min("bk").as("block_key"))
+      .agg(min("bk").as("block_key"), count(lit(1)).as("_n_keys"))
+    val capped =
+      if (cfg.maxCandidatesPerRecord <= 0) deduped
+      else {
+        val w = Window.partitionBy("url1")
+          .orderBy(col("_n_keys").desc, col("url2"))
+        deduped.withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= cfg.maxCandidatesPerRecord)
+          .drop("_rk")
+      }
+    capped.drop("_n_keys")
   }
 
   // -------------------------------------------------------------------

@@ -90,5 +90,12 @@ class RelabelSpec extends SparkSpec {
     val aUrls = poolA.select("url").as[String].collect().toSet
     assert(cands.select("url1").as[String].collect().forall(aUrls.contains))
     assert(cands.select("url2").as[String].collect().forall(u => !aUrls.contains(u)))
+    // n_closest cap applies per SOURCE record in pooled mode too
+    val capped = ErPipeline.candidatesPooled(poolA, poolB,
+      ErPipeline.Config(maxCandidatesPerRecord = 3))
+    val maxFan = capped.groupBy("url1").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxFan <= 3, s"pooled cap violated: $maxFan")
+    assert(capped.columns.toSeq === cands.columns.toSeq)
   }
 }
