@@ -96,8 +96,11 @@ object Ann {
           Similarity.cosineSim(e, typedLit(c.toSeq)).as("sim"),
           lit(i).as("cell"))
     }: _*)
-    // corpus rows land in their single nearest cell (max cosine, min-index
-    // tiebreak via struct ordering on (sim desc -> take max struct))
+    // corpus rows land in their single nearest cell: array_max over
+    // (sim, cell) structs = max cosine, HIGHEST cell index on exact sim
+    // ties (struct ordering) — deterministic; note trainKMeans's own
+    // assignment breaks ties toward the LOWEST index, which only matters
+    // for exactly-equidistant vectors
     val corpusCells = corpus.select(
       col(cId).as("neighbor_id"), col(embCol).cast("array<double>").as("ce"))
       .withColumn("cell", array_max(cellSims(col("ce"))).getField("cell"))

@@ -57,15 +57,19 @@ object Clustering {
     // round fixed cost proportional to task count, so a 10k-edge graph on
     // 32-wide shuffles spends more on task churn than on data (measured
     // ~2x on sf0.1), while a 10^10-edge graph needs thousands of
-    // partitions regardless of the session default. Restored in finally —
-    // the conf is session-scoped.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // partitions regardless of the session default. The width lives in an
+    // ISOLATED child session (newSession shares the SparkContext but owns
+    // its SQLConf), so concurrent queries on the caller's session never
+    // observe it — the checkpointed edge RDD rebases across sessions for
+    // free.
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val p = math.max(1L, math.min(prevSig._1 / rowsPerPartition + 1, 20000L))
     val width = if (prevSig._1 < rowsPerPartition)
-      math.min(prevShuffle.toLong, math.max(1L, prevSig._1 / 50000L + 1L))
+      math.min(sessionShuffle.toLong, math.max(1L, prevSig._1 / 50000L + 1L))
     else math.max(p, spark.sparkContext.defaultParallelism.toLong)
-    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
-    try {
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", width.toString)
+    e = loopSession.createDataFrame(e.rdd, e.schema)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -105,12 +109,12 @@ object Clustering {
     val members = e.select($"v".as("node"), $"u".as("cluster_id"))
     val roots = e.select($"u".as("node")).distinct()
       .withColumn("cluster_id", $"node")
-    // materialize while the loop's shuffle width is still in force (the
-    // returned plan would otherwise capture conf at a later action)
-    members.unionByName(roots)
+    // materialize under the loop session (its width), then rebase the
+    // result back onto the caller's session
+    val res = members.unionByName(roots)
       .groupBy($"node").agg(min($"cluster_id").as("cluster_id"))
       .localCheckpoint(true)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.createDataFrame(res.rdd, res.schema)
   }
 
   /** CC including isolated vertices: every row of `vertices` gets a

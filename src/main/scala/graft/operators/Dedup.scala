@@ -18,6 +18,27 @@ object Dedup {
     */
   def fingerprint(text: Column): Column = md5(Normalize.canonicalText(text))
 
+  /** Signature tables are persisted because their plans are read 3x per
+    * query (banding + both verify sides). A lazily-built query can't
+    * unpersist its own cache, so each new persist releases the PREVIOUS
+    * one (non-blocking): a long-lived session running many dedup queries
+    * holds at most one live signature cache instead of leaking one per
+    * call. An earlier query re-executed after that point just recomputes.
+    */
+  private val lastPersisted =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastPersisted.getAndSet(out)
+    // same query re-invoked -> same plan -> the cache entry is SHARED;
+    // unpersisting the old handle would evict the one just registered
+    if (prev != null &&
+        !prev.queryExecution.analyzed.sameResult(out.queryExecution.analyzed))
+      prev.unpersist(false)
+    out
+  }
+
   /** Exact dedup: one row per distinct content hash with group size and
     * the surviving (minimum) id.
     */
@@ -107,7 +128,7 @@ object Dedup {
       Similarity.minHashSig(canon, k, n).as("sig") :+
       shingleHashes(canon, n).as("sh")): _*)
       .repartition(col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistTracked(sigd) // cache registered by plan: sigd reads hit it
     val banded = sigd.select((blockCols.map(col) :+ col(idCol) :+
       explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk")): _*)
       .select((blockCols.map(col) :+ col(idCol) :+ col("bk.band") :+ col("bk.bkey")): _*)
@@ -152,7 +173,7 @@ object Dedup {
       Similarity.minHashSig(canon, k, shingleWidth).as("sig"),
       shingleHashes(canon, shingleWidth).as("sh"))
       .repartition(col(idCol)) // parallelize signature computation on single-split inputs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistTracked(sigd) // cache registered by plan: sigd reads hit it
     // the band bucket join carries only ids — shingle sets join back once
     // per deduped pair, not once per colliding band
     val banded = sigd.select(
@@ -298,7 +319,11 @@ object Dedup {
     */
   def embeddingPairs(
       df: DataFrame, idCol: String, embCol: String,
-      threshold: Double, exactCap: Long = 100000L): DataFrame =
-    if (df.count() <= exactCap) embeddingPairsExact(df, idCol, embCol, threshold)
+      threshold: Double, exactCap: Long = 100000L): DataFrame = {
+    // probe at most exactCap+1 ids instead of a full count — the dispatch
+    // decision never needs to materialize the whole input
+    val small = df.select(col(idCol)).limit((exactCap + 1).toInt).count() <= exactCap
+    if (small) embeddingPairsExact(df, idCol, embCol, threshold)
     else embeddingPairsLsh(df, idCol, embCol, threshold)
+  }
 }

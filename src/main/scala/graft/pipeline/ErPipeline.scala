@@ -195,22 +195,25 @@ object ErPipeline {
       // A8 dedup, deterministic min; the shared-key count ranks pair
       // strength for the per-record cap below
       .agg(min("block_key").as("block_key"), count(lit(1)).as("_n_keys"))
+    capPerRecord(deduped, cfg.maxCandidatesPerRecord, bothSides = true)
+  }
 
-    // n_closest-style cap (I4/O4): keep each record's strongest pairs —
-    // most shared blocking keys first, url2 tiebreak. Bounds the scoring
-    // join's fan-out per record no matter how many keys a record explodes
-    // into; a hot record degrades gracefully instead of emitting unbounded
-    // pairs.
-    val capped =
-      if (cfg.maxCandidatesPerRecord <= 0) deduped
-      else {
-        val w = Window.partitionBy("url1")
-          .orderBy(col("_n_keys").desc, col("url2"))
-        deduped.withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") <= cfg.maxCandidatesPerRecord)
-          .drop("_rk")
-      }
-    capped.drop("_n_keys")
+  /** n_closest-style cap (I4/O4): keep each record's strongest pairs —
+    * most shared blocking keys first, url tiebreak. With bothSides, the
+    * bound holds for a record in EITHER pair slot (pairs are url1 < url2
+    * canonicalized, so a record's fan-out splits across both); capping
+    * url2 after url1 only removes rows, so the url1 bound still holds.
+    */
+  private def capPerRecord(deduped: DataFrame, cap: Int, bothSides: Boolean): DataFrame = {
+    if (cap <= 0) return deduped.drop("_n_keys")
+    def capSide(df: DataFrame, side: String, other: String) = {
+      val w = Window.partitionBy(side).orderBy(col("_n_keys").desc, col(other))
+      df.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= cap)
+        .drop("_rk")
+    }
+    val one = capSide(deduped, "url1", "url2")
+    (if (bothSides) capSide(one, "url2", "url1") else one).drop("_n_keys")
   }
 
   /** G1 Pooled mode: match a source pool against a search pool
@@ -228,16 +231,9 @@ object ErPipeline {
       .filter(col("url1") =!= col("url2"))
       .groupBy("url1", "url2")
       .agg(min("bk").as("block_key"), count(lit(1)).as("_n_keys"))
-    val capped =
-      if (cfg.maxCandidatesPerRecord <= 0) deduped
-      else {
-        val w = Window.partitionBy("url1")
-          .orderBy(col("_n_keys").desc, col("url2"))
-        deduped.withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") <= cfg.maxCandidatesPerRecord)
-          .drop("_rk")
-      }
-    capped.drop("_n_keys")
+    // pooled slots are asymmetric (url1 = source pool): cap per source
+    // record only, matching the reference's pooled n_closest lookups
+    capPerRecord(deduped, cfg.maxCandidatesPerRecord, bothSides = false)
   }
 
   // -------------------------------------------------------------------
@@ -511,7 +507,8 @@ object ErPipeline {
       signatures(norm, cfg)
     }
     val cands = stage("candidates", Map("maxBlock" -> cfg.maxBlock.toString,
-      "hotWindow" -> cfg.hotWindow.toString))(candidates(sigs, cfg))
+      "hotWindow" -> cfg.hotWindow.toString,
+      "maxCandidatesPerRecord" -> cfg.maxCandidatesPerRecord.toString))(candidates(sigs, cfg))
     val scored = stage("scores", Map("threshold" -> cfg.matchThreshold.toString)) {
       scorePairs(cands, sigs, cfg)
     }

@@ -639,13 +639,17 @@ object Catalog {
       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""".stripMargin
 
   /** Documents plus planted near-duplicates (first 90% of words, id +
-    * 100000) — the corpus for MinHash/SimHash detection queries.
+    * PlantOffset) — the corpus for MinHash/SimHash detection queries.
+    * The offset (10^9) sits far above any doc_id the generator emits at
+    * any scale factor, so planted ids can never collide with real ones.
     */
+  private val PlantOffset = 1000000000L
+
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val w = split(col("text"), " ")
     val truncated = d.select(
-      (col("doc_id") + 100000).as("doc_id"), col("lang"), col("source"),
+      (col("doc_id") + PlantOffset).as("doc_id"), col("lang"), col("source"),
       array_join(slice(w, lit(1), greatest(lit(3), floor(size(w) * 0.9).cast("int"))), " ").as("text"))
     d.select("doc_id", "lang", "source", "text").unionByName(truncated)
   }
@@ -663,7 +667,7 @@ object Catalog {
     """WITH aug AS (
       |  SELECT doc_id, lang, source, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id, lang, source,
+      |  SELECT doc_id + 1000000000 AS doc_id, lang, source,
       |    array_to_string((string_split(text, ' '))[1:greatest(3,
       |      CAST(floor(0.9 * len(string_split(text, ' '))) AS INT))], ' ') AS text
       |  FROM documents),
@@ -685,7 +689,7 @@ object Catalog {
 
   /** SimHash near-dup detection, gated by planted-pair containment: every
     * document gets a planted near-duplicate (its canonical text repeated
-    * twice, id + 100000). Doubling every word count preserves each SimHash
+    * twice, id + PlantOffset). Doubling every word count preserves each SimHash
     * counter's sign exactly, so the planted pair's hamming distance is 0
     * by construction and the 8-chunk pigeonhole MUST surface it — the
     * oracle's full-coverage claim is structural, not empirical. A recall
@@ -697,12 +701,12 @@ object Catalog {
     val d = t(s, dir, "documents")
     val canon = Normalize.canonicalText(col("text"))
     val planted = d.select(
-      (col("doc_id") + 100000).as("doc_id"), col("lang"), col("source"),
+      (col("doc_id") + PlantOffset).as("doc_id"), col("lang"), col("source"),
       concat_ws(" ", canon, canon).as("text"))
     val corpus = d.select("doc_id", "lang", "source", "text").unionByName(planted)
     val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 7)
     d.select(col("doc_id"))
-      .join(pairs.filter(col("id2") === col("id1") + 100000)
+      .join(pairs.filter(col("id2") === col("id1") + PlantOffset)
         .select(col("id1").as("doc_id"), lit(true).as("found")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("found"), lit(false)).as("found"))

@@ -117,7 +117,11 @@ object JdbcStore {
         conn.commit()
       } finally st.close()
     } catch {
-      case e: Throwable => conn.rollback(); throw e
+      case e: Throwable =>
+        // a rollback failure (dead connection) must not mask the root cause
+        try conn.rollback()
+        catch { case rb: Throwable => e.addSuppressed(rb) }
+        throw e
     } finally conn.close()
   }
 

@@ -74,15 +74,18 @@ object StreamingOps {
     * events were split across batches (a later batch carrying an
     * earlier-timestamped event supersedes the earlier emission).
     */
-  def firstSeenPerUser(
+  /** The cross-batch best-so-far changelog both first-seen surfaces share:
+    * a batch emits a key's event only when it improves the stored minimum
+    * (ts, event_id).
+    */
+  private def firstSeenChangelog(
       spark: SparkSession, eventsParquet: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int]): org.apache.spark.sql.Dataset[Ev] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val stream = streamParquet(spark, eventsParquet, maxFilesPerTrigger)
+    streamParquet(spark, eventsParquet, maxFilesPerTrigger)
       .withColumn("ts", col("ts").cast("timestamp"))
       .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
-    val deduped = stream
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, evs: Iterator[Ev], state: GroupState[(Long, Long)]) =>
@@ -93,6 +96,12 @@ object StreamingOps {
           if (improves) { state.update(key); Iterator(incoming) }
           else Iterator.empty
       }
+  }
+
+  def firstSeenPerUser(
+      spark: SparkSession, eventsParquet: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val deduped = firstSeenChangelog(spark, eventsParquet, maxFilesPerTrigger)
     val name = s"graft_stream_first_${counter.incrementAndGet()}"
     val q = deduped.toDF().writeStream
       .outputMode("append")
@@ -126,22 +135,7 @@ object StreamingOps {
       spark: SparkSession, eventsParquet: String,
       jdbcUrl: String, table: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val stream = streamParquet(spark, eventsParquet, maxFilesPerTrigger)
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
-    val changelog = stream
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, evs: Iterator[Ev], state: GroupState[(Long, Long)]) =>
-          val incoming = evs.minBy(e => (e.ts.getTime, e.event_id))
-          val key = (incoming.ts.getTime, incoming.event_id)
-          val improves = state.getOption.forall(best =>
-            key._1 < best._1 || (key._1 == best._1 && key._2 < best._2))
-          if (improves) { state.update(key); Iterator(incoming) }
-          else Iterator.empty
-      }
+    val changelog = firstSeenChangelog(spark, eventsParquet, maxFilesPerTrigger)
     val types = Some(
       "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type VARCHAR(32), value DOUBLE")
     val q = changelog.toDF()
