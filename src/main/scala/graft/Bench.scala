@@ -29,6 +29,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadNow(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadAtStart = loadNow() // background load BEFORE the bench adds its own
+
     // warmup: touch every table + exercise codegen paths once at tiny scale
     graft.queries.Catalog.queries.get("q_multi_join")
       .foreach(q => q(spark, sfDir).count())
@@ -70,6 +76,12 @@ object Bench {
     // methodologically unsound. scripts/scaling_with_ceiling.sh measures it
     // properly (fresh JVM per level, 1.35M pages, hardware-ceiling
     // bracketing); results live in BASELINE.md "Scaling efficiency".
+    // measurement-window context: host load (at start = background
+    // contention, at end = including this bench) and core estimate, so
+    // round-over-round comparisons carry their own contention caveat
+    val loadAvg = loadNow()
+    val hostCores = Runtime.getRuntime.availableProcessors()
+
     val qs = ok.map(r => "\"" + r.name + "\":" + f"${r.sec}%.3f")
       .mkString("{", ",", "}")
     val fs = failed.map(r => "\"" + r.name + "\":\"" + r.error.get + "\"")
@@ -80,6 +92,8 @@ object Bench {
         s""""failed":$fs,"n_failed":${failed.size},""" +
         f""""er_pipeline_sec":$pipelineSec%.3f,"er_pipeline_pages":$nPages,""" +
         f""""er_pipeline_docs_per_sec":$docsPerSec%.1f,"er_clusters":$nClusters,""" +
+        f""""load_avg":$loadAvg%.2f,"load_avg_at_start":$loadAtStart%.2f,""" +
+        s""""host_cores":$hostCores,"bench_cores":$cpus,""" +
         s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -31,7 +31,8 @@ object Clustering {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIter: Int = 50,
-      rowsPerPartition: Long = 2000000L): DataFrame = {
+      rowsPerPartition: Long = 2000000L,
+      smallGraphEdgeCap: Long = 200000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -52,6 +53,14 @@ object Clustering {
     }
 
     var prevSig = sig(e)
+
+    // Small graphs (edge count already measured for free by the signature)
+    // skip the iterative star loop entirely: below the cap, per-ROUND task
+    // scheduling latency dominates data cost by orders of magnitude, so a
+    // single-task union-find (one shuffle to one partition, one pass,
+    // path-compressed) returns the identical min-label components in one
+    // job. 200k edges is ~3 MB of pairs — far below any executor budget.
+    if (prevSig._1 <= smallGraphEdgeCap) return smallGraphCC(spark, e)
     // Size the loop's shuffle width from the MEASURED edge count (free —
     // the signature already counted): an iterative algorithm pays per-
     // round fixed cost proportional to task count, so a 10k-edge graph on
@@ -115,6 +124,45 @@ object Clustering {
       .groupBy($"node").agg(min($"cluster_id").as("cluster_id"))
       .localCheckpoint(true)
     spark.createDataFrame(res.rdd, res.schema)
+  }
+
+  /** Single-task exact CC for small edge sets: classic union-find with
+    * path compression and union-by-min (the smaller root absorbs, so every
+    * root IS its component minimum — same contract as the star loop).
+    * Runs as ONE task via coalesce(1).mapPartitions: still executor-side
+    * (no driver collect), works for any Comparable key type (long url
+    * strings, int keys, ...).
+    */
+  private def smallGraphCC(
+      spark: org.apache.spark.sql.SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val keyType = e.schema("u").dataType
+    val outSchema = StructType(Seq(
+      StructField("node", keyType), StructField("cluster_id", keyType)))
+    val rows = e.rdd.coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression: value writes only, key set untouched
+        while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      it.foreach { row =>
+        val u = row.get(0); val v = row.get(1)
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) {
+          if (cmp(ru, rv) <= 0) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val keys = parent.keySet().toArray
+      keys.iterator.map(n => Row(n, find(n)))
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** CC including isolated vertices: every row of `vertices` gets a

@@ -18,26 +18,16 @@ object Dedup {
     */
   def fingerprint(text: Column): Column = md5(Normalize.canonicalText(text))
 
-  /** Signature tables are persisted because their plans are read 3x per
-    * query (banding + both verify sides). A lazily-built query can't
-    * unpersist its own cache, so each new persist releases the PREVIOUS
-    * one (non-blocking): a long-lived session running many dedup queries
-    * holds at most one live signature cache instead of leaking one per
-    * call. An earlier query re-executed after that point just recomputes.
+  /** Signature tables are read 3x per query (banding + both verify sides),
+    * so they are materialized ONCE per call via an eager localCheckpoint
+    * (MEMORY_AND_DISK blocks on the executors). Unlike a shared persist
+    * slot, every call owns its own materialization: interleaved or
+    * concurrent dedup queries can never evict each other's signatures, and
+    * the blocks are released automatically by Spark's ContextCleaner when
+    * the returned plan is no longer referenced — no JVM-lifetime pin, no
+    * per-query unpersist bookkeeping for callers.
     */
-  private val lastPersisted =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastPersisted.getAndSet(out)
-    // same query re-invoked -> same plan -> the cache entry is SHARED;
-    // unpersisting the old handle would evict the one just registered
-    if (prev != null &&
-        !prev.queryExecution.analyzed.sameResult(out.queryExecution.analyzed))
-      prev.unpersist(false)
-    out
-  }
+  private def materializeOnce(df: DataFrame): DataFrame = df.localCheckpoint()
 
   /** Exact dedup: one row per distinct content hash with group size and
     * the surviving (minimum) id.
@@ -111,26 +101,44 @@ object Dedup {
     * generates candidates, exact sorted-overlap Jaccard verifies — same
     * output as the brute verifier, but the self-join is keyed by (block,
     * band, bucket) so per-key fan-out is bounded by bucket occupancy, never
-    * block^2. With rowsPerBand=2, bands=64 a true pair at j >= 0.5 is
-    * missed with probability (1 - 0.25)^64 ~ 1e-8 — the candidate stage is
-    * exhaustive for practical purposes and the exact verifier keeps the
-    * output identical to brute force.
+    * block^2. The candidate stage misses a true pair at Jaccard exactly
+    * `threshold` with probability (1 - threshold^rowsPerBand)^bands; by
+    * default `bands` is DERIVED from the caller's threshold so that bound
+    * stays <= ~2e-8 at ANY threshold (e.g. t=0.5 -> 64 bands, t=0.3 -> 188,
+    * t=0.2 -> 435) — a caller lowering the threshold keeps the
+    * exhaustiveness guarantee instead of silently losing pairs. Explicit
+    * (bands, rowsPerBand) overrides are honored for tuning.
     */
+  private val BandMissBound = 2e-8
+
+  def derivedBands(threshold: Double, rowsPerBand: Int): Int = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
+    val collide = math.pow(threshold, rowsPerBand)
+    val b =
+      if (collide >= 1.0) 1
+      else math.max(1, math.ceil(math.log(BandMissBound) / math.log(1.0 - collide)).toInt)
+    require(b <= 1024,
+      s"threshold $threshold needs $b bands (k=${b * rowsPerBand} minhashes) for a " +
+        s"$BandMissBound miss bound — raise the threshold or pass explicit (bands, rowsPerBand)")
+    math.max(64, b)
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double,
-      bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
-    val k = bands * rowsPerBand
+      bands: Int = 0, rowsPerBand: Int = 2): DataFrame = {
+    val b = if (bands > 0) bands else derivedBands(threshold, rowsPerBand)
+    val k = b * rowsPerBand
     val canon = Normalize.canonicalText(col(textCol))
     // signature table is read three times (banding + both verify sides);
-    // persist so the shingle/minhash kernels run once per row
-    val sigd = df.select((blockCols.map(col) :+ col(idCol) :+
-      Similarity.minHashSig(canon, k, n).as("sig") :+
-      shingleHashes(canon, n).as("sh")): _*)
-      .repartition(col(idCol))
-    persistTracked(sigd) // cache registered by plan: sigd reads hit it
+    // materialize once so the shingle/minhash kernels run once per row
+    val sigd = materializeOnce(
+      df.select((blockCols.map(col) :+ col(idCol) :+
+        Similarity.minHashSig(canon, k, n).as("sig") :+
+        shingleHashes(canon, n).as("sh")): _*)
+        .repartition(col(idCol)))
     val banded = sigd.select((blockCols.map(col) :+ col(idCol) :+
-      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk")): _*)
+      explode(bandKeys(col("sig"), b, rowsPerBand)).as("bk")): _*)
       .select((blockCols.map(col) :+ col(idCol) :+ col("bk.band") :+ col("bk.bkey")): _*)
     val joinKeys = blockCols ++ Seq("band", "bkey")
     val lhs = banded.select((joinKeys.map(col) :+ col(idCol).as("id1")): _*)
@@ -166,14 +174,14 @@ object Dedup {
       verifyThreshold: Double = 0.6): DataFrame = {
     val k = bands * rowsPerBand
     val canon = Normalize.canonicalText(col(textCol))
-    // read three times (banding + both verify sides) — persist so the
-    // shingle/minhash kernels run once per row, not three times
-    val sigd = df.select(
-      col(idCol),
-      Similarity.minHashSig(canon, k, shingleWidth).as("sig"),
-      shingleHashes(canon, shingleWidth).as("sh"))
-      .repartition(col(idCol)) // parallelize signature computation on single-split inputs
-    persistTracked(sigd) // cache registered by plan: sigd reads hit it
+    // read three times (banding + both verify sides) — materialize once so
+    // the shingle/minhash kernels run once per row, not three times
+    val sigd = materializeOnce(
+      df.select(
+        col(idCol),
+        Similarity.minHashSig(canon, k, shingleWidth).as("sig"),
+        shingleHashes(canon, shingleWidth).as("sh"))
+        .repartition(col(idCol))) // parallelize signatures on single-split inputs
     // the band bucket join carries only ids — shingle sets join back once
     // per deduped pair, not once per colliding band
     val banded = sigd.select(
@@ -320,9 +328,14 @@ object Dedup {
   def embeddingPairs(
       df: DataFrame, idCol: String, embCol: String,
       threshold: Double, exactCap: Long = 100000L): DataFrame = {
+    require(exactCap >= 0, s"exactCap must be non-negative: $exactCap")
     // probe at most exactCap+1 ids instead of a full count — the dispatch
-    // decision never needs to materialize the whole input
-    val small = df.select(col(idCol)).limit((exactCap + 1).toInt).count() <= exactCap
+    // decision never needs to materialize the whole input. Clamp the probe
+    // to Int.MaxValue: a huge cap must not overflow to a negative limit
+    // (or a small positive one that would mis-dispatch to the O(n^2) path).
+    val probe =
+      if (exactCap >= Int.MaxValue.toLong) Int.MaxValue else (exactCap + 1).toInt
+    val small = df.select(col(idCol)).limit(probe).count() <= exactCap
     if (small) embeddingPairsExact(df, idCol, embCol, threshold)
     else embeddingPairsLsh(df, idCol, embCol, threshold)
   }

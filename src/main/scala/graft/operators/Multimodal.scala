@@ -10,15 +10,134 @@ import graft.functions.GraftKernels.mix64
   * run batched per partition (`mapPartitions` — the Scala analogue of
   * mapInPandas batches).
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * codecs): `decodeStub` derives a deterministic fake feature vector and
-  * fake dimensions from the payload bytes. Everything around it — schema,
-  * partitioning, batch iteration, output shape — is the real production
-  * plumbing; swapping in a real codec touches only the marked function.
+  * Decode surface:
+  *  - kind "bmp" has a REAL pure-JVM decoder (`decodeBmp`): uncompressed
+  *    24-bit Windows BMP — BITMAPFILEHEADER + BITMAPINFOHEADER parse,
+  *    bottom-up row order, 4-byte row padding. No native codec needed.
+  *  - other kinds (jpeg/audio/video) remain STUBBED (`decodeStub` — this
+  *    container has no compressed-format codecs): deterministic fake
+  *    features from payload bytes. Schema, partitioning, batch iteration
+  *    and output shape are the real production plumbing either way;
+  *    adding a codec touches only the per-kind decode function.
   */
 object Multimodal {
 
   final case class MediaMeta(kind: String, nBytes: Long, sha: Long)
+
+  // ==== REAL DECODER: uncompressed 24-bit BMP ==========================
+
+  final case class BmpImage(width: Int, height: Int, pixels: Array[Byte]) {
+    /** Pixel channel at (x, y), top-left origin, c in 0=R 1=G 2=B. */
+    def channel(x: Int, y: Int, c: Int): Int =
+      pixels((y * width + x) * 3 + c) & 0xFF
+  }
+
+  /** Encode a 24-bit bottom-up BMP; `px(x, y)` returns (r, g, b) with a
+    * top-left origin. Fixture generator for tests/queries — the payloads
+    * it emits are valid files any image viewer opens.
+    */
+  def encodeBmp(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    val dataSize = rowSize * height
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // BITMAPFILEHEADER (14 bytes)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(fileSize).putInt(0).putInt(54) // reserved, pixel-data offset
+    // BITMAPINFOHEADER (40 bytes)
+    b.putInt(40).putInt(width).putInt(height)
+    b.putShort(1).putShort(24) // planes, bpp
+    b.putInt(0).putInt(dataSize) // BI_RGB (uncompressed), image size
+    b.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette unused
+    // pixel rows, bottom-up, BGR order
+    var y = height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = px(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Parse an uncompressed 24-bit BMP: validates the magic, header sizes,
+    * bpp and compression fields, then walks the bottom-up padded rows into
+    * a top-left-origin RGB array. Throws IllegalArgumentException on
+    * malformed payloads (truncation, wrong magic, unsupported bpp).
+    */
+  def decodeBmp(payload: Array[Byte]): BmpImage = {
+    require(payload.length >= 54, s"truncated BMP header: ${payload.length} bytes")
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 'B'.toByte && b.get() == 'M'.toByte, "not a BMP (bad magic)")
+    val fileSize = b.getInt()
+    b.getInt() // reserved
+    val dataOffset = b.getInt()
+    val hdrSize = b.getInt()
+    require(hdrSize >= 40, s"unsupported DIB header size $hdrSize")
+    val width = b.getInt()
+    val height = b.getInt()
+    require(width > 0 && height > 0, s"unsupported dims ${width}x$height")
+    b.getShort() // planes
+    val bpp = b.getShort()
+    require(bpp == 24, s"unsupported bpp $bpp (only 24-bit uncompressed)")
+    val compression = b.getInt()
+    require(compression == 0, s"unsupported compression $compression")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    require(payload.length >= dataOffset + rowSize * height,
+      s"truncated pixel data: ${payload.length} < ${dataOffset + rowSize * height}")
+    require(fileSize <= payload.length, s"header claims $fileSize > ${payload.length} bytes")
+    val pixels = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val src = dataOffset + (height - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val p = src + x * 3
+        val dst = (y * width + x) * 3
+        pixels(dst) = payload(p + 2)     // R
+        pixels(dst + 1) = payload(p + 1) // G
+        pixels(dst + 2) = payload(p)     // B
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(width, height, pixels)
+  }
+
+  final case class BmpStats(
+      doc_id: Long, width: Int, height: Int, n_bytes: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decode a (doc_id, payload) table of BMP images into per-image
+    * dimension + channel-mean stats, batched per partition.
+    */
+  def decodeBmpStats(df: DataFrame): Dataset[BmpStats] = {
+    implicit val enc = Encoders.product[BmpStats]
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val img = decodeBmp(payload)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            sr += img.pixels(i) & 0xFF
+            sg += img.pixels(i + 1) & 0xFF
+            sb += img.pixels(i + 2) & 0xFF
+            i += 3
+          }
+          val n = (img.width.toLong * img.height).toDouble
+          BmpStats(r.getLong(0), img.width, img.height, payload.length.toLong,
+            sr / n, sg / n, sb / n)
+        }
+      }
+  }
 
   final case class MediaFeatures(
       doc_id: Long,
@@ -28,9 +147,27 @@ object Multimodal {
       height: Int,
       feature: Array[Float])
 
-  /** ==== STUB ==== deterministic fake decoder: a real implementation
+  /** Deterministic synthetic BMP keyed by doc_id: dims and channel values
+    * are closed-form functions of the id (width = 1 + id%16, height =
+    * 1 + id%8, R = id%200 + x gradient, G/B constants), so an ANSI-SQL
+    * oracle can verify the decode round-trip algebraically. The gradient
+    * along x plus BMP's bottom-up padded rows means a decoder that
+    * mis-steps padding or row order produces wrong means.
+    */
+  def syntheticBmp(docId: Long): Array[Byte] = {
+    val w = 1 + (docId % 16).toInt
+    val h = 1 + (docId % 8).toInt
+    val base = (docId % 200).toInt // base + x <= 199 + 15 < 256: no wrap
+    val g = ((docId * 3 + 7) % 256).toInt
+    val b = ((docId * 5 + 11) % 256).toInt
+    encodeBmp(w, h, (x, _) => (base + x, g, b))
+  }
+
+  /** ==== STUB ==== deterministic fake decoder for kinds with no JVM
+    * codec in this sandbox (jpeg/audio/video): a real implementation
     * would parse the container format and decode pixels/samples here.
-    * Shape contract (dims + fixed-size feature vector) is the real one.
+    * Shape contract (dims + fixed-size feature vector) is the real one;
+    * kind "bmp" uses the real decoder above.
     */
   def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
     var h = 1125899906842597L
@@ -49,7 +186,9 @@ object Multimodal {
 
   /** df must carry (doc_id: long, payload: binary, kind: string). Runs the
     * decode batched per partition; the output is a typed Dataset ready for
-    * downstream similarity search over `feature`.
+    * downstream similarity search over `feature`. kind "bmp" decodes for
+    * real (dims from the header, feature = channel means then zero-pad);
+    * other kinds go through the stub.
     */
   def extractFeatures(df: DataFrame, dim: Int = 32): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
@@ -59,8 +198,23 @@ object Multimodal {
         // native context once here and reuse it across the batch
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val (w, h, feat) = decodeStub(payload, dim)
-          MediaFeatures(r.getLong(0), r.getString(2), payload.length.toLong, w, h, feat)
+          val kind = r.getString(2)
+          val (w, h, feat) =
+            if (kind == "bmp") {
+              val img = decodeBmp(payload)
+              val n = (img.width.toLong * img.height).toDouble
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < img.pixels.length) {
+                sums(i % 3) += img.pixels(i) & 0xFF
+                i += 1
+              }
+              val f = new Array[Float](dim)
+              var c = 0
+              while (c < math.min(3, dim)) { f(c) = (sums(c) / n).toFloat; c += 1 }
+              (img.width, img.height, f)
+            } else decodeStub(payload, dim)
+          MediaFeatures(r.getLong(0), kind, payload.length.toLong, w, h, feat)
         }
       }
   }

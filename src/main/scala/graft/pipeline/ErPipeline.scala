@@ -502,8 +502,12 @@ object ErPipeline {
     }
 
     val norm = stage("normalize")(normalize(extract(pages)))
+    // every cfg field signatures() reads is fingerprinted (useLsh gates
+    // whether block_keys carry LSH keys at all — omitting it would serve
+    // stale cached signatures after a toggle)
     val sigs = stage("signatures", Map("embedDim" -> cfg.embedDim.toString,
-      "lshBits" -> cfg.lshBits.toString, "lshTables" -> cfg.lshTables.toString)) {
+      "lshBits" -> cfg.lshBits.toString, "lshTables" -> cfg.lshTables.toString,
+      "useLsh" -> cfg.useLsh.toString)) {
       signatures(norm, cfg)
     }
     val cands = stage("candidates", Map("maxBlock" -> cfg.maxBlock.toString,

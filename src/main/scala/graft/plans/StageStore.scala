@@ -86,12 +86,44 @@ object StageStore {
       val m = ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(s)
       m.map(_.group(1))
     }
+    // top-level "rows" precedes the partitions array in toJson's layout,
+    // so the FIRST match is the stage row count, and every "checksum"
+    // match is a per-partition xor — their xor is the global row-hash xor
+    val totalRows = "\"rows\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    val partStats = {
+      val ps = "\\{\"partition\":(\\d+),\"rows\":(\\d+),\"checksum\":(-?\\d+)\\}".r
+      ps.findAllMatchIn(s)
+        .map(m => PartitionStat(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong))
+        .toSeq
+    }
     for {
       st <- field("stage")
       v <- field("pipeline_version")
       f <- field("inputs_fingerprint")
-    } yield Manifest(st, v, f, Map.empty, 0L, Nil, 0.0,
+    } yield Manifest(st, v, f, Map.empty, totalRows.getOrElse(0L), partStats, 0.0,
       "\"written_at_ms\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L))
+  }
+
+  /** Read-side lineage check (north rule: per-partition lineage must be
+    * USED, not just recorded): before a stage is resumed from its parquet,
+    * recompute the cheap order-insensitive (row count, xor of row hashes)
+    * aggregate and compare it to the manifest's recorded partition stats —
+    * a corrupted, truncated, or partially-deleted stage file refuses to
+    * resume instead of silently feeding bad rows downstream. One
+    * column-complete pass over the stage data; no recompute of the stage.
+    */
+  private def verifyLineage(df: DataFrame, m: Manifest, root: String, stage: String): Unit = {
+    if (m.partitions.isEmpty) return // legacy manifest without stats
+    val expectXor = m.partitions.map(_.checksum).foldLeft(0L)(_ ^ _)
+    val r = df
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("x"))
+      .head()
+    if (r.getLong(0) != m.rows || r.getLong(1) != expectXor)
+      throw new IllegalStateException(
+        s"stage '$stage' parquet at $root/$stage does not match its manifest lineage " +
+          s"(rows ${r.getLong(0)} vs ${m.rows}, checksum ${r.getLong(1)} vs $expectXor); " +
+          "the stage data is corrupted or truncated — clear the stage directory to rebuild")
   }
 
   /** A skipped stage must also match its parameters; params are folded
@@ -113,7 +145,9 @@ object StageStore {
     val fp = fullFingerprint(inputsFingerprint, params)
     readManifest(root, stage) match {
       case Some(m) if m.pipelineVersion == pipelineVersion && m.inputsFingerprint == fp =>
-        spark.read.parquet(dataPath(root, stage))
+        val df = spark.read.parquet(dataPath(root, stage))
+        verifyLineage(df, m, root, stage)
+        df
       case Some(m) if m.pipelineVersion != pipelineVersion =>
         // model-consistency guard analogue (G2): refuse silent lineage mixing
         throw new IllegalStateException(

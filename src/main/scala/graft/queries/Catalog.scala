@@ -206,7 +206,13 @@ object Catalog {
     val types = Some("event_id BIGINT, value DOUBLE")
     JdbcStore.overwrite(base, url, "events_base", types)
     JdbcStore.upsert(s, updates, url, "events_base", Seq("event_id"), types)
-    JdbcStore.readWhere(s, url, "events_base", "\"event_id\" >= 0")
+    // read back through the partition-parallel shape (the only JDBC read
+    // that scales past one connection); rows outside [lower, upper) still
+    // land in the boundary slices, so static bounds are safe. The filter
+    // pushes into each slice's JDBC scan (PushedFilters).
+    JdbcStore.readPartitioned(s, url, "events_base", "\"event_id\"",
+      lower = 0L, upper = 1000000L, numPartitions = 4)
+      .filter(col("event_id") >= 0)
       .select(col("event_id"), round(col("value"), 2).as("value"))
   }
 
@@ -533,21 +539,23 @@ object Catalog {
         col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_mktsegment"),
       col("c_custkey").as("k2"), col("c_name").as("n2"))
-    // The scores travel inside a generator (explode of a 1-element struct
-    // array): generator outputs are a predicate-pushdown FENCE, so the
-    // wrongness filter below CANNOT be pushed into the join condition —
-    // without it, Catalyst inlines round(jw)/levenshtein into the
+    // The scored pair table is MATERIALIZED once (eager localCheckpoint)
+    // before the wrongness filter. Without the barrier, Catalyst pushes
+    // the filter into the join and inlines round(jw)/levenshtein into the
     // BroadcastHashJoin condition AND the projection, evaluating both
-    // string kernels twice per pair (measured 5.7x slower). This models
-    // the production shape too: reports read a materialized scores table.
-    a.join(b, Seq("c_nationkey", "c_mktsegment"))
+    // string kernels twice per pair (measured 5.7x slower); the explode
+    // fence tried in round 2 kept single evaluation but broke whole-stage
+    // codegen across the generator (BENCH_r02: 2.9x er_scores). This also
+    // models the production shape: reports read a materialized scores
+    // table, exactly what the reference does (report.py reads the
+    // duplicates table back).
+    val scored = a.join(b, Seq("c_nationkey", "c_mktsegment"))
       .filter(col("k1") < col("k2"))
       .select(col("k1"), col("k2"), col("n1"), col("n2"),
-        explode(array(struct(
-          round(Similarity.jaroWinkler(col("n1"), col("n2")), 4).as("jw"),
-          levenshtein(col("n1"), col("n2")).as("lev")))).as("s"))
-      .select(col("k1"), col("k2"), col("n1"), col("n2"),
-        col("s.jw").as("jw"), col("s.lev").as("lev"))
+        round(Similarity.jaroWinkler(col("n1"), col("n2")), 4).as("jw"),
+        levenshtein(col("n1"), col("n2")).as("lev"))
+      .localCheckpoint()
+    scored
       .withColumn("pred", col("jw") >= 0.94)
       .withColumn("is_dup", col("lev") <= 1)
       .filter(col("pred") =!= col("is_dup"))
@@ -922,6 +930,38 @@ object Catalog {
   val mmBinaryMetaSql: String =
     "SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5 FROM documents"
 
+  /** REAL media decode (no stub): synthesize a valid uncompressed 24-bit
+    * BMP per doc_id (dims/channels are closed-form functions of the id),
+    * run it through the pure-JVM BMP parser (header validation, bottom-up
+    * padded rows), report dims + byte size + per-channel means. The oracle
+    * recomputes every stat algebraically — a decoder that mis-parses the
+    * header, the 4-byte row padding, or the BGR pixel order fails the
+    * hash. The R channel carries an x-gradient so the means depend on
+    * actual pixel traversal, not just the header.
+    */
+  val mmDecode: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticBmp(id)))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeBmpStats(payloads)
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+  }
+
+  val mmDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 16 AS INT) AS width,
+      |  CAST(1 + doc_id % 8 AS INT) AS height,
+      |  CAST(54 + (1 + doc_id % 8) * ((((1 + doc_id % 16) * 3 + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+      |  round((doc_id % 200) + (doc_id % 16) / 2.0, 4) AS mean_r,
+      |  round(CAST((doc_id * 3 + 7) % 256 AS DOUBLE), 4) AS mean_g,
+      |  round(CAST((doc_id * 5 + 11) % 256 AS DOUBLE), 4) AS mean_b
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------------
   // Structured Streaming (batch-equivalence oracles)
   // ---------------------------------------------------------------------
@@ -1010,6 +1050,7 @@ object Catalog {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "mm_binary_meta" -> mmBinaryMeta,
+    "mm_decode" -> mmDecode,
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_first_seen" -> streamFirstSeen,
@@ -1054,6 +1095,7 @@ object Catalog {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_decode" -> mmDecodeSql,
     "stream_windowed_agg" -> streamWindowedAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_first_seen" -> streamFirstSeenSql,

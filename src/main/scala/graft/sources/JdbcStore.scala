@@ -98,7 +98,11 @@ object JdbcStore {
       overwrite(updates, url, table, columnTypes)
       return
     }
-    val staging = table + "_staging"
+    // unique staging name per call: concurrent upserts into the same target
+    // can never clobber each other's staging content (a fixed name would
+    // silently mix/drop one batch's rows under mode=overwrite)
+    val staging = table + "_stg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     overwrite(updates, url, staging, columnTypes)
     val conn = DriverManager.getConnection(url)
     try {
@@ -113,8 +117,6 @@ object JdbcStore {
           s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $staging s WHERE $keyMatch)")
         st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
         conn.commit()
-        st.executeUpdate(s"DROP TABLE $staging")
-        conn.commit()
       } finally st.close()
     } catch {
       case e: Throwable =>
@@ -122,7 +124,16 @@ object JdbcStore {
         try conn.rollback()
         catch { case rb: Throwable => e.addSuppressed(rb) }
         throw e
-    } finally conn.close()
+    } finally {
+      // best-effort drop in ALL outcomes (success, failure between commit
+      // and drop, rollback) — no stranded staging tables
+      try {
+        val st = conn.createStatement()
+        try { st.executeUpdate(s"DROP TABLE $staging"); conn.commit() }
+        finally st.close()
+      } catch { case _: Throwable => () }
+      conn.close()
+    }
   }
 
   private def q(ident: String): String = "\"" + ident + "\""

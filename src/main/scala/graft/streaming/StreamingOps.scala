@@ -17,6 +17,43 @@ object StreamingOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Sink directory of the most recent wrapper run — test hook so specs
+    * can assert the scale-safe sink actually received the result files.
+    */
+  @volatile private[graft] var lastSinkPath: String = ""
+
+  private def sinkDirs(tag: String): (String, String) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_${tag}_${counter.incrementAndGet()}")
+      .toString
+    (s"$dir/result.parquet", s"$dir/chk")
+  }
+
+  /** Drive a COMPLETE-mode aggregation stream into a parquet directory via
+    * foreachBatch (each micro-batch overwrites with the current complete
+    * result; the final batch leaves the final table), then read it back.
+    * The result never materializes in the driver — executors write the
+    * files — so sessionization at production cardinality (sessions ~
+    * O(users)) cannot OOM the driver the way a `memory` sink would. The
+    * same foreachBatch slot routes to any batch sink (JDBC upsert:
+    * firstSeenToJdbc below).
+    */
+  private def completeToParquet(agg: DataFrame, tag: String): DataFrame = {
+    val spark = agg.sparkSession
+    val (out, chk) = sinkDirs(tag)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastSinkPath = out
+    spark.read.parquet(out)
+  }
+
   /** Hourly tumbling-window counts/sums per event_type over the events
     * table, executed as a stream. Returns the final result table.
     */
@@ -46,15 +83,7 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-    val name = s"graft_stream_out_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).select(
+    completeToParquet(agg, "win").select(
       col("window.start").cast("timestamp_ntz").as("window_start"),
       col("event_type"), col("n"), col("total_value"))
   }
@@ -102,18 +131,23 @@ object StreamingOps {
       spark: SparkSession, eventsParquet: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val deduped = firstSeenChangelog(spark, eventsParquet, maxFilesPerTrigger)
-    val name = s"graft_stream_first_${counter.incrementAndGet()}"
+    // append-mode parquet FILE sink: the changelog lands on disk via the
+    // executors (exactly-once through the sink's commit log); the driver
+    // never holds the result table
+    val (out, chk) = sinkDirs("first")
     val q = deduped.toDF().writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastSinkPath = out
     // changelog compaction: per key, the final best is the minimum emitted
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    spark.table(name)
+    spark.read.parquet(out)
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
       .select(
@@ -170,15 +204,7 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
-    val name = s"graft_stream_sess_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).select(
+    completeToParquet(agg, "sess").select(
       col("session_window.start").cast("timestamp_ntz").as("session_start"),
       col("user_id"), col("n_events"), col("session_value"))
   }

@@ -22,14 +22,21 @@ class ClusteringSpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
+  /** Both physical paths must give identical answers: the single-task
+    * union-find (default below the small-graph cap) and the iterative
+    * star loop (forced by cap=0 — the shape that runs at 10^10 edges).
+    */
   private def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
-    val got = Clustering.connectedComponents(
-      edges.toDF("src", "dst"), "src", "dst")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = bruteForce(n, edges)
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-    touched.foreach { v =>
-      assert(got(v) === want(v), s"node $v: got ${got.get(v)}, want ${want(v)}")
+    for (cap <- Seq(200000L, 0L)) {
+      val got = Clustering.connectedComponents(
+        edges.toDF("src", "dst"), "src", "dst", smallGraphEdgeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      touched.foreach { v =>
+        assert(got(v) === want(v),
+          s"node $v (cap=$cap): got ${got.get(v)}, want ${want(v)}")
+      }
     }
   }
 

@@ -109,6 +109,33 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall too low")
   }
 
+  test("interleaved dedup queries each keep their own signature cache") {
+    // Two DIFFERENT dedup queries built before either executes: under the
+    // old process-global persist slot the second construction evicted the
+    // first query's signature cache, silently re-running the minhash
+    // kernel 3x. Per-call materialization (eager localCheckpoint) gives
+    // each query its own blocks — both plans must read from materialized
+    // RDD scans, not recompute the kernels.
+    val blocked = docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val q1 = Dedup.minHashPairs(docs, "doc_id", "text", verifyThreshold = 0.6)
+    val q2 = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+      Seq("lang", "source"), 3, 0.5)
+    // both signature tables are already materialized per-call; the final
+    // plans scan the checkpointed RDDs and contain NO minhash kernel
+    for (q <- Seq(q1, q2)) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+        s"expected a materialized signature scan, got:\n${plan.take(600)}")
+      assert(!plan.contains("minhash_sig"),
+        "signature kernel leaked into the execution plan (recompute)")
+    }
+    // interleaved execution: both produce their correct results
+    val r1 = q1.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = q2.collect()
+    assert(r1.nonEmpty && r2.nonEmpty)
+    assert((0L until 10L).forall(i => r1.contains((i, i + 1000L))), "q1 lost its dups")
+  }
+
   test("minhash-prefiltered jaccard equals the brute in-block verifier") {
     val blocked = docs.withColumn("blk", lit("all"))
     val brute = Dedup.ngramJaccardPairsBrute(blocked, "doc_id", "text", Seq("blk"), 3, 0.5)

@@ -23,8 +23,12 @@ class JdbcSpec extends SparkSpec {
     val got = JdbcStore.read(spark, url, "contacts")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
-    // staging table is cleaned up after the transaction
-    assert(!JdbcStore.tableExists(url, "contacts_staging"))
+    // staging table (unique name per call) is cleaned up after the txn
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "CONTACTS_STG_%", null)
+      try assert(!rs.next(), "stranded staging table") finally rs.close()
+    } finally conn.close()
   }
 
   test("upsert is idempotent (same batch twice -> same table)") {

@@ -90,6 +90,42 @@ class ResumeSpec extends SparkSpec {
         "scores stage must recompute when an upstream param changes")
       assert(clusters2.toSeq !== clusters1.toSeq,
         "clusters stage must recompute when an upstream param changes")
+      // toggling useLsh changes signatures() output (block_keys gain/lose
+      // LSH keys) — it must invalidate the signatures stage and the chain
+      val sigs2 = Files.readAllBytes(Paths.get(root, "signatures", "manifest.json"))
+      ErPipeline.run(spark, pages,
+        ErPipeline.Config(outRoot = root, lshBits = 12, useLsh = false))
+      val sigs3 = Files.readAllBytes(Paths.get(root, "signatures", "manifest.json"))
+      val clusters3 = Files.readAllBytes(Paths.get(root, "clusters", "manifest.json"))
+      assert(sigs3.toSeq !== sigs2.toSeq,
+        "signatures stage must recompute when useLsh toggles")
+      assert(clusters3.toSeq !== clusters2.toSeq,
+        "downstream stages must recompute when useLsh toggles")
+    } finally rmrf(root)
+  }
+
+  test("resume refuses a stage whose parquet no longer matches its lineage") {
+    val root = tmpRoot()
+    try {
+      var computed = 0
+      def make(): org.apache.spark.sql.DataFrame = {
+        computed += 1
+        spark.range(1000).toDF("id").repartition(4)
+      }
+      StageStore.runStage(spark, root, "s4", "v1", "fp")(make())
+      assert(computed === 1)
+      // normal-path resume: lineage aggregate matches, stage is read back
+      StageStore.runStage(spark, root, "s4", "v1", "fp")(make()).count()
+      assert(computed === 1)
+      // corrupt the stage: drop one part file (valid parquet dir, fewer rows)
+      val part = Files.list(Paths.get(root, "s4", "data.parquet"))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      Files.delete(part)
+      val e = intercept[IllegalStateException] {
+        StageStore.runStage(spark, root, "s4", "v1", "fp")(make()).count()
+      }
+      assert(e.getMessage.contains("lineage"))
     } finally rmrf(root)
   }
 

@@ -80,6 +80,24 @@ class TextStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming wrappers land in a file sink, never a driver memory table") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    for (run <- Seq(
+        () => StreamingOps.windowedEventAgg(spark, path),
+        () => StreamingOps.firstSeenPerUser(spark, path),
+        () => StreamingOps.sessionize(spark, path, 10))) {
+      run().count()
+      val sink = new java.io.File(StreamingOps.lastSinkPath)
+      assert(sink.isDirectory, s"expected a parquet sink dir at $sink")
+      assert(sink.listFiles().exists(_.getName.endsWith(".parquet")),
+        s"sink dir $sink holds no parquet part files")
+    }
+    // no in-memory result tables registered by any wrapper
+    val memTables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_stream"))
+    assert(memTables.isEmpty, s"driver-resident memory tables: ${memTables.toSeq}")
+  }
+
   test("first-seen state is correct under multi-batch delivery") {
     // two files, delivered as separate micro-batches (maxFilesPerTrigger=1),
     // where the SECOND batch carries the earlier event for user 1 — the
