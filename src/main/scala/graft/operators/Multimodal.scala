@@ -14,7 +14,9 @@ import graft.functions.GraftKernels.mix64
   *  - kind "bmp" has a REAL pure-JVM decoder (`decodeBmp`): uncompressed
   *    24-bit Windows BMP — BITMAPFILEHEADER + BITMAPINFOHEADER parse,
   *    bottom-up row order, 4-byte row padding. No native codec needed.
-  *  - other kinds (jpeg/audio/video) remain STUBBED (`decodeStub` — this
+  *  - audio has a REAL pure-JVM decoder too (`decodeWav`): RIFF chunk
+  *    walk, PCM 16-bit samples.
+  *  - other kinds (jpeg/video) remain STUBBED (`decodeStub` — this
   *    container has no compressed-format codecs): deterministic fake
   *    features from payload bytes. Schema, partitioning, batch iteration
   *    and output shape are the real production plumbing either way;
@@ -108,6 +110,105 @@ object Multimodal {
       y += 1
     }
     BmpImage(width, height, pixels)
+  }
+
+  // ==== REAL DECODER: PCM WAV (RIFF) =================================
+
+  final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Encode a mono 16-bit PCM WAV (44-byte canonical RIFF header). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(1) // mono
+    b.putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+    b.putShort(2).putShort(16) // block align, bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Parse a PCM WAV: validates RIFF/WAVE magic, walks the chunk list to
+    * `fmt ` (PCM, 16-bit required) and `data`, returns the samples.
+    * Unknown chunks are skipped (word-aligned), like any real reader.
+    */
+  def decodeWav(payload: Array[Byte]): WavAudio = {
+    require(payload.length >= 44, s"truncated WAV header: ${payload.length} bytes")
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF file")
+    b.getInt() // riff size
+    require(tag() == "WAVE", "not a WAVE file")
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (b.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
+      val id = tag(); val size = b.getInt()
+      require(size >= 0 && b.remaining() >= size, s"truncated chunk '$id' ($size bytes)")
+      id match {
+        case "fmt " =>
+          val fmt = b.getShort()
+          require(fmt == 1, s"unsupported audio format $fmt (PCM only)")
+          channels = b.getShort()
+          sampleRate = b.getInt()
+          b.getInt(); b.getShort() // byte rate, block align
+          bits = b.getShort()
+          require(bits == 16, s"unsupported bits/sample $bits (16-bit only)")
+          b.position(b.position() + size - 16)
+        case "data" =>
+          require(sampleRate > 0, "data chunk before fmt chunk")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = b.getShort(); i += 1 }
+        case _ =>
+          b.position(b.position() + size + (size & 1)) // skip, word-aligned
+      }
+    }
+    require(samples != null, "no data chunk")
+    WavAudio(sampleRate, channels, samples)
+  }
+
+  /** Deterministic synthetic WAV keyed by doc_id: mono 8 kHz, n = 16 +
+    * id%64 samples with a linear ramp base + i (base = (id%100)*10, peak
+    * <= 1069 — no clipping), so every stat has an ANSI-SQL closed form.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = 16 + (docId % 64).toInt
+    val base = ((docId % 100) * 10).toInt
+    encodeWav(8000, Array.tabulate(n)(i => (base + i).toShort))
+  }
+
+  final case class WavStats(
+      doc_id: Long, sample_rate: Int, n_channels: Int, n_samples: Long,
+      n_bytes: Long, mean_amp: Double, peak_amp: Int)
+
+  /** Decode a (doc_id, payload) table of PCM WAVs into per-clip stats,
+    * batched per partition.
+    */
+  def decodeWavStats(df: DataFrame): Dataset[WavStats] = {
+    implicit val enc = Encoders.product[WavStats]
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val a = decodeWav(payload)
+          var sum = 0L; var peak = Int.MinValue
+          var i = 0
+          while (i < a.samples.length) {
+            val s = a.samples(i).toInt
+            sum += s
+            if (s > peak) peak = s
+            i += 1
+          }
+          WavStats(r.getLong(0), a.sampleRate, a.channels,
+            a.samples.length.toLong, payload.length.toLong,
+            sum.toDouble / a.samples.length, peak)
+        }
+      }
   }
 
   final case class BmpStats(

@@ -962,6 +962,34 @@ object Catalog {
       |  round(CAST((doc_id * 5 + 11) % 256 AS DOUBLE), 4) AS mean_b
       |FROM documents""".stripMargin
 
+  /** Second real decoder, audio: synthesize a valid mono 16-bit PCM WAV
+    * per doc_id (linear amplitude ramp — closed-form stats), parse it with
+    * the pure-JVM RIFF/PCM reader (chunk walk, fmt validation), report
+    * rate/shape/byte/amplitude stats. Same oracle discipline as mm_decode:
+    * every value is recomputed algebraically by DuckDB.
+    */
+  val mmDecodeWav: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticWav(id)))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeWavStats(payloads)
+      .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+        col("n_samples"), col("n_bytes"),
+        round(col("mean_amp"), 4).as("mean_amp"), col("peak_amp"))
+  }
+
+  val mmDecodeWavSql: String =
+    """SELECT doc_id,
+      |  CAST(8000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS n_channels,
+      |  CAST(16 + doc_id % 64 AS BIGINT) AS n_samples,
+      |  CAST(44 + (16 + doc_id % 64) * 2 AS BIGINT) AS n_bytes,
+      |  round((doc_id % 100) * 10 + (15 + doc_id % 64) / 2.0, 4) AS mean_amp,
+      |  CAST((doc_id % 100) * 10 + 15 + doc_id % 64 AS INT) AS peak_amp
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------------
   // Structured Streaming (batch-equivalence oracles)
   // ---------------------------------------------------------------------
@@ -1051,6 +1079,7 @@ object Catalog {
     "text_fingerprint" -> textFingerprint,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
+    "mm_decode_wav" -> mmDecodeWav,
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_first_seen" -> streamFirstSeen,
@@ -1096,6 +1125,7 @@ object Catalog {
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
+    "mm_decode_wav" -> mmDecodeWavSql,
     "stream_windowed_agg" -> streamWindowedAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_first_seen" -> streamFirstSeenSql,

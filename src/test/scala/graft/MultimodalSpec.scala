@@ -53,6 +53,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV round-trip preserves samples; chunk walker skips unknown chunks") {
+    val samples = Array.tabulate(100)(i => (i * 37 - 500).toShort)
+    val enc = Multimodal.encodeWav(16000, samples)
+    assert(enc.length === 44 + 200)
+    val a = Multimodal.decodeWav(enc)
+    assert(a.sampleRate === 16000 && a.channels === 1)
+    assert(a.samples.toSeq === samples.toSeq)
+    // splice an unknown (odd-sized, word-padded) chunk between fmt and data:
+    // a real reader must skip it and still find the samples
+    val head = enc.take(36) // RIFF..WAVE + fmt chunk
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = head ++ junk ++ enc.drop(36)
+    val b = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.position(4); b.putInt(spliced.length - 8) // fix riff size
+    val a2 = Multimodal.decodeWav(spliced)
+    assert(a2.samples.toSeq === samples.toSeq)
+  }
+
+  test("WAV decode rejects malformed payloads") {
+    val ok = Multimodal.encodeWav(8000, Array[Short](1, 2, 3, 4))
+    val bad = ok.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    intercept[IllegalArgumentException](Multimodal.decodeWav(ok.take(20)))
+    // non-PCM format code
+    val nonPcm = ok.clone(); nonPcm(20) = 3.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(nonPcm))
+  }
+
+  test("synthetic WAV stats match their closed forms") {
+    for (id <- Seq(0L, 1L, 63L, 64L, 99L, 100L, 54321L)) {
+      val a = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      val n = 16 + (id % 64).toInt
+      val base = ((id % 100) * 10).toInt
+      assert(a.samples.length === n && a.sampleRate === 8000)
+      assert(a.samples.map(_.toLong).sum.toDouble / n === base + (n - 1) / 2.0)
+      assert(a.samples.max === (base + n - 1).toShort)
+    }
+  }
+
   test("extractFeatures dispatches bmp to the real decoder") {
     val payload = Multimodal.syntheticBmp(42L)
     val df = Seq((42L, payload, "bmp"), (43L, payload, "jpeg"))
