@@ -31,6 +31,7 @@ EOF
 echo "levels: local[$N1] vs local[$N2], entities: $N"
 echo "loadavg: $(cut -d' ' -f1-3 /proc/loadavg)"
 C1=$(ceiling); echo "$C1"
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g}
 T1=$(sbt -batch "runMain graft.ScalingBench $N1 $N" 2>/dev/null | grep -o '{"metric":"pipeline_throughput.*}')
 echo "$T1"
 T2=$(sbt -batch "runMain graft.ScalingBench $N2 $N" 2>/dev/null | grep -o '{"metric":"pipeline_throughput.*}')

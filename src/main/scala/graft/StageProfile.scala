@@ -18,7 +18,18 @@ object StageProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-stage-profile-$cores")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      // Shuffle width is data-sized, not core-sized: start wide and let AQE
+      // coalesce to the advisory target. core*2 width made the 5 GB
+      // pair-join shuffles land in ~660 MB partitions whose sort-merge
+      // sorts spilled to disk — and disk does not scale with cores.
+      .config("spark.sql.shuffle.partitions", "1024")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
+      // hash-join instead of sort-merge where the per-partition build side
+      // fits (it does, at 64 MB partitions): no giant per-partition sorts
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // decompressed 64 MB partitions spilled the pair-join sorts/aggs at
+      // 4 cores (3 GB spill measured); 16 MB keeps every operator in memory
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -161,10 +161,14 @@ object ErPipeline {
   def candidates(signatures: DataFrame, cfg: Config = Config()): DataFrame = {
     val keyed = signatures
       .select(explode(col("block_keys")).as("bk"), col("url"))
-    val sizes = keyed.groupBy("bk").agg(count(lit(1)).as("bk_n"))
-    // join hash-partitions by bk; the cold groupBy and the hot window both
-    // reuse that partitioning (no further exchange until the pair dedup)
-    val withSize = keyed.join(sizes, "bk")
+    // block size via window count, not a groupBy+self-join: one bk-keyed
+    // shuffle total, and the signature expressions (which block_keys
+    // depends on, embedding included) are evaluated once, not once per
+    // join branch. The cold groupBy and the hot window below both reuse
+    // the window's hash(bk) partitioning — no further exchange until the
+    // pair dedup.
+    val withSize = keyed
+      .withColumn("bk_n", count(lit(1)).over(Window.partitionBy("bk")))
 
     // cold blocks (<= maxBlock members): gather the block into one bounded
     // array and emit all C(n,2) pairs locally — no self-join, no second
@@ -240,11 +244,38 @@ object ErPipeline {
   // stage 5: scores — feature-based pair classifier (M2 replacement)
   // -------------------------------------------------------------------
 
+  /** The fields scoring reads off each record of a pair. */
+  private val featureFields = Seq(
+    "lang", "name_norm", "name_norm_rev", "email_norm", "phone_norm",
+    "state_norm", "zip_norm", "embedding")
+
+  /** The classifier score as a pure column expression over two records'
+    * feature columns, given accessors for each side (so the same formula
+    * serves both the join-shaped scorer and the block-local fused path).
+    */
+  private def scoreOf(a: String => Column, b: String => Column): Column = {
+    val nonEmptyEq = (f: String) =>
+      (length(a(f)) > 0 && a(f) === b(f)).cast("double")
+    val nameJw = greatest(
+      Similarity.jaroWinkler(a("name_norm"), b("name_norm")),
+      Similarity.jaroWinkler(a("name_norm"), b("name_norm_rev")))
+    val nameLev = greatest(
+      Similarity.levenshteinSim(a("name_norm"), b("name_norm")),
+      Similarity.levenshteinSim(a("name_norm"), b("name_norm_rev")))
+    val cos = Similarity.cosineSim(a("embedding"), b("embedding"))
+    round(
+      lit(0.30) * nonEmptyEq("email_norm") +
+        lit(0.30) * nonEmptyEq("phone_norm") +
+        lit(0.15) * nameJw +
+        lit(0.10) * nameLev +
+        lit(0.05) * nonEmptyEq("state_norm") +
+        lit(0.05) * nonEmptyEq("zip_norm") +
+        lit(0.05) * greatest(cos, lit(0.0)),
+      6)
+  }
+
   def scorePairs(cands: DataFrame, signatures: DataFrame, cfg: Config = Config()): DataFrame = {
-    val feat = signatures.select(
-      col("url"), col("lang"), col("name_norm"), col("name_norm_rev"),
-      col("email_norm"), col("phone_norm"), col("state_norm"), col("zip_norm"),
-      col("embedding"))
+    val feat = signatures.select((Seq(col("url")) ++ featureFields.map(col)): _*)
     val lhs = feat.columns.foldLeft(feat)((d, c) => d.withColumnRenamed(c, c + "1"))
     val rhs = feat.columns.foldLeft(feat)((d, c) => d.withColumnRenamed(c, c + "2"))
 
@@ -256,33 +287,15 @@ object ErPipeline {
       .join(rhs.withColumnRenamed("url2", "url2_"), col("url2") === col("url2_"))
       .drop("url2_")
 
-    val nonEmptyEq = (a: String, b: String) =>
-      (length(col(a)) > 0 && col(a) === col(b)).cast("double")
-    val jwDirect = Similarity.jaroWinkler(col("name_norm1"), col("name_norm2"))
-    val jwSwap = Similarity.jaroWinkler(col("name_norm1"), col("name_norm_rev2"))
-    val nameJw = greatest(jwDirect, jwSwap)
-    val nameLev = greatest(
-      Similarity.levenshteinSim(col("name_norm1"), col("name_norm2")),
-      Similarity.levenshteinSim(col("name_norm1"), col("name_norm_rev2")))
-    val cos = Similarity.cosineSim(col("embedding1"), col("embedding2"))
-
-    val score =
-      lit(0.30) * nonEmptyEq("email_norm1", "email_norm2") +
-        lit(0.30) * nonEmptyEq("phone_norm1", "phone_norm2") +
-        lit(0.15) * nameJw +
-        lit(0.10) * nameLev +
-        lit(0.05) * nonEmptyEq("state_norm1", "state_norm2") +
-        lit(0.05) * nonEmptyEq("zip_norm1", "zip_norm2") +
-        lit(0.05) * greatest(cos, lit(0.0))
-
     withBoth.select(
       col("url1"), col("url2"), col("block_key"),
       col("lang1"), col("lang2"),
-      round(score, 6).as("score"))
+      scoreOf(f => col(f + "1"), f => col(f + "2")).as("score"))
       .withColumn("matches", col("score") >= cfg.matchThreshold)
       .withColumn("comparison_ts", current_timestamp())
       .withColumn("pipeline_version", lit(cfg.pipelineVersion))
   }
+
 
   /** Ad-hoc record for the pair probe (the reference's CLI match tool,
     * idrt/match.py:17-103: build two records, score them, report).

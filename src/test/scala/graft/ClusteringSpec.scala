@@ -74,4 +74,23 @@ class ClusteringSpec extends SparkSpec {
     assert(got("u/a") === "u/a" && got("u/b") === "u/a" && got("u/c") === "u/a")
     assert(got("u/x") === "u/x" && got("u/y") === "u/x")
   }
+
+  test("star loop on string keys dictionary-encodes and decodes to min-url roots") {
+    // cap=0 forces the iterative path, which for non-numeric keys runs on
+    // rank-correlated long ids; decoded roots must be the component's
+    // MINIMUM url, including across a chain (where the min sits mid-chain
+    // lexicographically) and with ids that would sort differently as
+    // strings vs insertion order
+    val edges = Seq(
+      ("u/m", "u/b"), ("u/b", "u/z"),       // chain, min u/b in the middle
+      ("u/10", "u/2"), ("u/2", "u/1"),      // lexicographic: "u/1" < "u/10" < "u/2"
+      ("u/solo1", "u/solo2"))
+      .toDF("src", "dst")
+    val got = Clustering.connectedComponents(
+      edges, "src", "dst", smallGraphEdgeCap = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("u/m") === "u/b" && got("u/b") === "u/b" && got("u/z") === "u/b")
+    assert(got("u/10") === "u/1" && got("u/2") === "u/1" && got("u/1") === "u/1")
+    assert(got("u/solo1") === "u/solo1" && got("u/solo2") === "u/solo1")
+  }
 }
