@@ -21,11 +21,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // data-sized shuffle width (AQE coalesces to the 16 MB advisory
-      // target) + hash joins over sort-merge: same job shape that closed
-      // the scaling-efficiency gate (see BASELINE.md round 3)
-      .config("spark.sql.shuffle.partitions", "256")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // data-sized shuffle width for AQE plans (start wide, coalesce to
+      // the 16 MB advisory target) + hash joins over sort-merge: the job
+      // shape that closed the scaling-efficiency gate (BASELINE.md r3).
+      // shuffle.partitions stays core-sized because it is what NON-AQE
+      // plans use — stateful streaming disables AQE, and a 1024-task
+      // micro-batch is pure scheduler churn (measured 4x slowdown).
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.adaptive.enabled", "true")
