@@ -45,19 +45,26 @@ object Ann {
       qId: String, cId: String, embCol: String, k: Int,
       bits: Int = 8, tables: Int = 4): DataFrame = {
     def keyed(df: DataFrame, id: String, as: String) =
-      df.select(col(id).as(as), col(embCol).as(as + "_e"),
+      df.select(col(id).as(as),
         explode(array((0 until tables).map(t =>
           concat(lit(s"$t:"),
             Similarity.rhpKey(col(embCol), bits, 0xA11CE000L + t).cast("string"))): _*))
           .as("bucket"))
     val q = keyed(queries, qId, "query_id")
     val c = keyed(corpus, cId, "neighbor_id")
-    val cands = q.join(c, Seq("bucket"))
+    // the bucket join and the collision dedup carry IDS ONLY — both
+    // embedding payloads join back once per deduped pair, not once per
+    // colliding bucket (same shape as Dedup.embeddingPairsLsh): the
+    // distinct shuffles two ids per candidate instead of two vectors
+    val ids = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("query_id_e"), col("neighbor_id_e"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val qe = queries.select(col(qId).as("query_id"), col(embCol).as("qe"))
+    val ce = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("ce"))
+    val cands = ids.join(qe, "query_id").join(ce, "neighbor_id")
       .withColumn("sim", Similarity.cosineSim(
-        asDouble(col("query_id_e")), asDouble(col("neighbor_id_e"))))
+        asDouble(col("qe")), asDouble(col("ce"))))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -16,11 +16,14 @@ import graft.functions.GraftKernels.mix64
   *    bottom-up row order, 4-byte row padding. No native codec needed.
   *  - audio has a REAL pure-JVM decoder too (`decodeWav`): RIFF chunk
   *    walk, PCM 16-bit samples.
-  *  - other kinds (jpeg/video) remain STUBBED (`decodeStub` — this
-  *    container has no compressed-format codecs): deterministic fake
-  *    features from payload bytes. Schema, partitioning, batch iteration
-  *    and output shape are the real production plumbing either way;
-  *    adding a codec touches only the per-kind decode function.
+  *  - compressed images (png/jpeg/gif) decode for REAL through
+  *    `javax.imageio.ImageIO` — pure-JDK codecs, no native library
+  *    (`decodeImage`/`decodeImageStats`).
+  *  - only "video" remains STUBBED (`decodeStub` — the JDK ships no video
+  *    codec): deterministic fake features from payload bytes. Schema,
+  *    partitioning, batch iteration and output shape are the real
+  *    production plumbing either way; adding a codec touches only the
+  *    per-kind decode function.
   */
 object Multimodal {
 
@@ -90,10 +93,15 @@ object Multimodal {
     require(bpp == 24, s"unsupported bpp $bpp (only 24-bit uncompressed)")
     val compression = b.getInt()
     require(compression == 0, s"unsupported compression $compression")
-    val rowSize = ((width * 3 + 3) / 4) * 4
-    require(payload.length >= dataOffset + rowSize * height,
-      s"truncated pixel data: ${payload.length} < ${dataOffset + rowSize * height}")
+    // size arithmetic in Long with a dimension cap: adversarial headers
+    // (e.g. width ~ 2^30) must fail the requires below, not overflow Int
+    // into a passing check and then die on allocation
+    require(width <= 32767 && height <= 32767, s"dims over cap: ${width}x$height")
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+    require(payload.length.toLong >= dataOffset.toLong + rowSizeL * height,
+      s"truncated pixel data: ${payload.length} < ${dataOffset.toLong + rowSizeL * height}")
     require(fileSize <= payload.length, s"header claims $fileSize > ${payload.length} bytes")
+    val rowSize = rowSizeL.toInt // fits: width is capped above
     val pixels = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -151,6 +159,7 @@ object Multimodal {
       require(size >= 0 && b.remaining() >= size, s"truncated chunk '$id' ($size bytes)")
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too small ($size bytes, need 16)")
           val fmt = b.getShort()
           require(fmt == 1, s"unsupported audio format $fmt (PCM only)")
           channels = b.getShort()
@@ -240,6 +249,101 @@ object Multimodal {
       }
   }
 
+  // ==== REAL DECODER: compressed images (png/jpeg/gif) via ImageIO =====
+
+  /** Decode a compressed image payload with the JDK's ImageIO codecs
+    * (pure-JVM PNG/JPEG/GIF/BMP readers — present in any JDK 17, no native
+    * library). Fails loudly on undecodable bytes instead of faking
+    * features. ImageIO sniffs the container by content, so the caller's
+    * `kind` tag never silently mis-decodes a payload.
+    */
+  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload (${payload.length} bytes)")
+    img
+  }
+
+  /** Encode an RGB image as PNG; `px(x, y)` returns (r, g, b). PNG is
+    * lossless, so decode stats have the same closed forms as the BMP
+    * generator — fixture generator for tests/queries.
+    */
+  def encodeImage(width: Int, height: Int, format: String,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out), s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic PNG keyed by doc_id — same closed-form dims
+    * and channel values as syntheticBmp (PNG is lossless, so the decode
+    * stats reproduce the algebra exactly).
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 1 + (docId % 16).toInt
+    val h = 1 + (docId % 8).toInt
+    val base = (docId % 200).toInt
+    val g = ((docId * 3 + 7) % 256).toInt
+    val b = ((docId * 5 + 11) % 256).toInt
+    encodeImage(w, h, "png", (x, _) => (base + x, g, b))
+  }
+
+  final case class ImageStats(
+      doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Per-pixel sRGB channel sums of a decoded image (bulk getRGB row scan
+    * — works for any source color model ImageIO hands back).
+    */
+  private def channelStats(img: java.awt.image.BufferedImage): (Double, Double, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    val row = new Array[Int](w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    (sr / n, sg / n, sb / n)
+  }
+
+  /** Decode a (doc_id, payload) table of compressed images (png/jpeg/gif)
+    * into dimension + channel-mean stats, batched per partition. ImageIO's
+    * temp-file cache is disabled once per partition — decodes stay
+    * in-memory on the executors.
+    */
+  def decodeImageStats(df: DataFrame): Dataset[ImageStats] = {
+    implicit val enc = Encoders.product[ImageStats]
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = decodeImage(r.getAs[Array[Byte]]("payload"))
+          val (mr, mg, mb) = channelStats(img)
+          ImageStats(r.getLong(0), img.getWidth, img.getHeight, mr, mg, mb)
+        }
+      }
+  }
+
   final case class MediaFeatures(
       doc_id: Long,
       kind: String,
@@ -264,11 +368,12 @@ object Multimodal {
     encodeBmp(w, h, (x, _) => (base + x, g, b))
   }
 
-  /** ==== STUB ==== deterministic fake decoder for kinds with no JVM
-    * codec in this sandbox (jpeg/audio/video): a real implementation
-    * would parse the container format and decode pixels/samples here.
-    * Shape contract (dims + fixed-size feature vector) is the real one;
-    * kind "bmp" uses the real decoder above.
+  /** ==== STUB ==== deterministic fake decoder, reachable ONLY for kind
+    * "video" (the single format with no JVM codec — the JDK ships no
+    * video decoder): a real implementation would parse the container and
+    * sample frames here. Shape contract (dims + fixed-size feature
+    * vector) is the real one; every image kind (bmp/png/jpeg/gif) and
+    * audio decode for real above.
     */
   def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
     var h = 1125899906842597L
@@ -287,21 +392,31 @@ object Multimodal {
 
   /** df must carry (doc_id: long, payload: binary, kind: string). Runs the
     * decode batched per partition; the output is a typed Dataset ready for
-    * downstream similarity search over `feature`. kind "bmp" decodes for
-    * real (dims from the header, feature = channel means then zero-pad);
-    * other kinds go through the stub.
+    * downstream similarity search over `feature`. Every image kind decodes
+    * for real — "bmp" through the pure-JVM parser (dims from the header,
+    * feature = channel means then zero-pad), "png"/"jpeg"/"jpg"/"gif"
+    * through ImageIO. Only "video" goes through the labeled stub; an
+    * unknown kind fails loudly instead of faking features.
     */
   def extractFeatures(df: DataFrame, dim: Int = 32): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
+    def meanFeature(w: Int, h: Int, mr: Double, mg: Double, mb: Double) = {
+      val f = new Array[Float](dim)
+      val means = Array(mr, mg, mb)
+      var c = 0
+      while (c < math.min(3, dim)) { f(c) = means(c).toFloat; c += 1 }
+      (w, h, f)
+    }
     df.select(col("doc_id").cast("long"), col("payload"), col("kind"))
       .mapPartitions { rows =>
-        // per-partition batch boundary: a real decoder would allocate its
-        // native context once here and reuse it across the batch
+        // per-partition batch boundary: decoder context set up once and
+        // reused across the batch (here: ImageIO's temp-file cache off)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val kind = r.getString(2)
-          val (w, h, feat) =
-            if (kind == "bmp") {
+          val (w, h, feat) = kind match {
+            case "bmp" =>
               val img = decodeBmp(payload)
               val n = (img.width.toLong * img.height).toDouble
               val sums = new Array[Long](3)
@@ -310,11 +425,16 @@ object Multimodal {
                 sums(i % 3) += img.pixels(i) & 0xFF
                 i += 1
               }
-              val f = new Array[Float](dim)
-              var c = 0
-              while (c < math.min(3, dim)) { f(c) = (sums(c) / n).toFloat; c += 1 }
-              (img.width, img.height, f)
-            } else decodeStub(payload, dim)
+              meanFeature(img.width, img.height,
+                sums(0) / n, sums(1) / n, sums(2) / n)
+            case "png" | "jpeg" | "jpg" | "gif" =>
+              val img = decodeImage(payload)
+              val (mr, mg, mb) = channelStats(img)
+              meanFeature(img.getWidth, img.getHeight, mr, mg, mb)
+            case "video" => decodeStub(payload, dim)
+            case other =>
+              throw new IllegalArgumentException(s"no decoder for kind '$other'")
+          }
           MediaFeatures(r.getLong(0), kind, payload.length.toLong, w, h, feat)
         }
       }

@@ -104,26 +104,58 @@ object StageStore {
       "\"written_at_ms\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L))
   }
 
+  private val PartIdx = "part-(\\d+)".r
+
+  /** Per-file (row count, xor of row hashes) aggregate over a stage's
+    * parquet, keyed by the part index in the file name — one pass, same
+    * cost as the global aggregate, but localizable. Grouping by
+    * input_file_name (not spark_partition_id) keeps the key stable even
+    * when a large part file splits into several read partitions.
+    */
+  private def fileStats(df: DataFrame): Array[(Int, String, Long, Long)] =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("x"))
+      .collect()
+      .map { r =>
+        val file = r.getString(0)
+        val idx = PartIdx.findFirstMatchIn(file).map(_.group(1).toInt).getOrElse(-1)
+        (idx, file, r.getLong(1), r.getLong(2))
+      }
+
   /** Read-side lineage check (north rule: per-partition lineage must be
     * USED, not just recorded): before a stage is resumed from its parquet,
-    * recompute the cheap order-insensitive (row count, xor of row hashes)
-    * aggregate and compare it to the manifest's recorded partition stats —
-    * a corrupted, truncated, or partially-deleted stage file refuses to
-    * resume instead of silently feeding bad rows downstream. One
+    * recompute the per-file (row count, xor of row hashes) aggregates and
+    * compare each against the manifest's recorded partition stats — a
+    * corrupted, truncated, or partially-deleted stage refuses to resume
+    * instead of silently feeding bad rows downstream, and the refusal
+    * NAMES the offending file(s) so the operator can act on it. One
     * column-complete pass over the stage data; no recompute of the stage.
     */
   private def verifyLineage(df: DataFrame, m: Manifest, root: String, stage: String): Unit = {
     if (m.partitions.isEmpty) return // legacy manifest without stats
-    val expectXor = m.partitions.map(_.checksum).foldLeft(0L)(_ ^ _)
-    val r = df
-      .agg(count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("x"))
-      .head()
-    if (r.getLong(0) != m.rows || r.getLong(1) != expectXor)
+    val perFile = fileStats(df)
+    val expect = m.partitions.map(p => p.partition -> p).toMap
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    perFile.foreach { case (idx, file, n, x) =>
+      expect.get(idx) match {
+        case None =>
+          problems += s"file $file is not in the manifest (partition $idx)"
+        case Some(p) if p.rows != n || p.checksum != x =>
+          problems += s"file $file diverges from manifest partition $idx " +
+            s"(rows $n vs ${p.rows}, checksum $x vs ${p.checksum})"
+        case _ => ()
+      }
+    }
+    val seen = perFile.map(_._1).toSet
+    expect.keysIterator.filterNot(seen).toSeq.sorted.foreach { idx =>
+      problems += s"manifest partition $idx (rows ${expect(idx).rows}) has no file on disk"
+    }
+    if (problems.nonEmpty)
       throw new IllegalStateException(
-        s"stage '$stage' parquet at $root/$stage does not match its manifest lineage " +
-          s"(rows ${r.getLong(0)} vs ${m.rows}, checksum ${r.getLong(1)} vs $expectXor); " +
-          "the stage data is corrupted or truncated — clear the stage directory to rebuild")
+        s"stage '$stage' parquet at $root/$stage does not match its manifest lineage: " +
+          problems.mkString("; ") +
+          " — the stage data is corrupted or truncated; clear the stage directory to rebuild")
   }
 
   /** A skipped stage must also match its parameters; params are folded
@@ -158,13 +190,12 @@ object StageStore {
         val out = compute
         out.write.mode("overwrite").parquet(dataPath(root, stage))
         val written = spark.read.parquet(dataPath(root, stage))
-        val stats = written
-          .groupBy(spark_partition_id().as("partition"))
-          .agg(count(lit(1)).as("rows"),
-            coalesce(bit_xor(xxhash64(written.columns.map(col): _*)), lit(0L)).as("checksum"))
-          .collect()
-          .map(r => PartitionStat(r.getInt(0), r.getLong(1), r.getLong(2)))
-          .toSeq
+        // keyed by part-file index (see fileStats) so the read-side verify
+        // can localize a mismatch to a named file; empty partitions write
+        // rowless part files and are correctly absent on both sides
+        val stats = fileStats(written)
+          .map { case (idx, _, n, x) => PartitionStat(idx, n, x) }
+          .toSeq.sortBy(_.partition)
         val manifest = Manifest(
           stage, pipelineVersion, fp, params,
           stats.map(_.rows).sum, stats,

@@ -456,6 +456,43 @@ object Catalog {
       |    AND a.c_custkey <> b.c_custkey)
       |WHERE rk <= 3""".stripMargin
 
+  /** The capped, scale-honest twin of the all-pairs JW block family:
+    * sorted-neighborhood pairing inside (nation, segment) blocks — each
+    * record scores against only its next `SnWindow` neighbors in key
+    * order, the exact hot-block fallback the production pipeline uses
+    * (ErPipeline.candidates). Expressed with lead() windows, so the plan
+    * is ONE block-keyed shuffle and ZERO joins (PlanSpec asserts no join
+    * node): pair volume is O(n x window), never C(block,2), at any block
+    * size — this is the shape that survives 100x block growth.
+    */
+  private val SnWindow = 4
+
+  val erSortedNeighbors: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    val nbrs = array((1 to SnWindow).map(i =>
+      struct(lead("c_custkey", i).over(w).as("k2"),
+        lead("c_name", i).over(w).as("n2"))): _*)
+    c.select(col("c_custkey").as("k1"), col("c_name").as("n1"), nbrs.as("nbrs"))
+      .select(col("k1"), col("n1"), explode(col("nbrs")).as("p"))
+      .filter(col("p.k2").isNotNull)
+      .select(col("k1"), col("p.k2").as("k2"),
+        round(Similarity.jaroWinkler(col("n1"), col("p.n2")), 4).as("jw"))
+  }
+
+  val erSortedNeighborsSql: String =
+    s"""WITH o AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+      |      ORDER BY c_custkey) AS rn
+      |  FROM customer)
+      |SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+      |  round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw
+      |FROM o a JOIN o b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+      |  AND b.rn > a.rn AND b.rn <= a.rn + $SnWindow""".stripMargin
+
   /** P7/J4/I2: pair-level re-comparison predicate — pairs unseen or with
     * either side updated since comparison_ts
     * (reference: idrt/algorithm/run_search.py:416-434).
@@ -962,6 +999,38 @@ object Catalog {
       |  round(CAST((doc_id * 5 + 11) % 256 AS DOUBLE), 4) AS mean_b
       |FROM documents""".stripMargin
 
+  /** Compressed-image decode through the JDK's real codecs: synthesize a
+    * valid PNG per doc_id (same closed-form pixel algebra as mm_decode —
+    * PNG is lossless, so the stats reproduce exactly), decode it with
+    * javax.imageio (zlib inflate, filter reconstruction, color model),
+    * report dims + channel means. The oracle recomputes every stat
+    * algebraically; a decode regression anywhere in the PNG path fails
+    * the hash. byte size is NOT reported — deflate output length has no
+    * closed form, which is exactly why this query exists separately from
+    * the BMP one.
+    */
+  val mmDecodePng: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticPng(id)))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeImageStats(payloads)
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+  }
+
+  val mmDecodePngSql: String =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 16 AS INT) AS width,
+      |  CAST(1 + doc_id % 8 AS INT) AS height,
+      |  round((doc_id % 200) + (doc_id % 16) / 2.0, 4) AS mean_r,
+      |  round(CAST((doc_id * 3 + 7) % 256 AS DOUBLE), 4) AS mean_g,
+      |  round(CAST((doc_id * 5 + 11) % 256 AS DOUBLE), 4) AS mean_b
+      |FROM documents""".stripMargin
+
   /** Second real decoder, audio: synthesize a valid mono 16-bit PCM WAV
     * per doc_id (linear amplitude ramp — closed-form stats), parse it with
     * the pure-JVM RIFF/PCM reader (chunk walk, fmt validation), report
@@ -1018,6 +1087,24 @@ object Catalog {
       |      FROM events)
       |WHERE rk = 1""".stripMargin
 
+  /** Watermark late-data discard, exercised for real (two ordered input
+    * files, the second entirely behind the watermark — see
+    * StreamingOps.lateDataWindowedAgg). The oracle encodes BOTH append-
+    * mode rules: day-1 (late) rows are absent, and only windows the final
+    * watermark (max on-time ts - 1h) closed are emitted.
+    */
+  val streamLateData: Q = (s, dir) =>
+    graft.streaming.StreamingOps.lateDataWindowedAgg(s, s"$dir/events.parquet")
+
+  val streamLateDataSql: String =
+    """SELECT window_start, n, total_value FROM (
+      |  SELECT TIMESTAMP '2026-01-02 00:00:00' + to_hours(event_id % 24) AS window_start,
+      |    count(*) AS n, round(sum(value), 2) AS total_value
+      |  FROM events GROUP BY 1)
+      |WHERE window_start + INTERVAL 1 HOUR <= (
+      |  SELECT max(TIMESTAMP '2026-01-02 00:00:00' + to_hours(event_id % 24)) - INTERVAL 1 HOUR
+      |  FROM events)""".stripMargin
+
   /** Stateful sessionization via session_window (10-minute gap). */
   val streamSessionize: Q = (s, dir) =>
     graft.streaming.StreamingOps.sessionize(s, s"$dir/events.parquet", 10)
@@ -1060,6 +1147,7 @@ object Catalog {
     "er_blocking_pairs" -> erBlockingPairs,
     "er_scores" -> erScores,
     "er_topk_candidates" -> erTopkCandidates,
+    "er_sorted_neighbors" -> erSortedNeighbors,
     "er_recompare" -> erRecompare,
     "er_f1_metrics" -> erF1Metrics,
     "er_wrong_pairs" -> erWrongPairs,
@@ -1079,10 +1167,12 @@ object Catalog {
     "text_fingerprint" -> textFingerprint,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
+    "mm_decode_png" -> mmDecodePng,
     "mm_decode_wav" -> mmDecodeWav,
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_first_seen" -> streamFirstSeen,
+    "stream_late_data" -> streamLateData,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1106,6 +1196,7 @@ object Catalog {
     "er_blocking_pairs" -> erBlockingPairsSql,
     "er_scores" -> erScoresSql,
     "er_topk_candidates" -> erTopkCandidatesSql,
+    "er_sorted_neighbors" -> erSortedNeighborsSql,
     "er_recompare" -> erRecompareSql,
     "er_f1_metrics" -> erF1MetricsSql,
     "er_wrong_pairs" -> erWrongPairsSql,
@@ -1125,9 +1216,11 @@ object Catalog {
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
+    "mm_decode_png" -> mmDecodePngSql,
     "mm_decode_wav" -> mmDecodeWavSql,
     "stream_windowed_agg" -> streamWindowedAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_first_seen" -> streamFirstSeenSql,
+    "stream_late_data" -> streamLateDataSql,
   )
 }

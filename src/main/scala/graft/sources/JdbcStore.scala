@@ -126,12 +126,19 @@ object JdbcStore {
         throw e
     } finally {
       // best-effort drop in ALL outcomes (success, failure between commit
-      // and drop, rollback) — no stranded staging tables
+      // and drop, rollback). A failed drop strands the uniquely-named
+      // staging table forever (no later run overwrites it), so the
+      // suppressed cause is logged instead of vanishing.
       try {
         val st = conn.createStatement()
         try { st.executeUpdate(s"DROP TABLE $staging"); conn.commit() }
         finally st.close()
-      } catch { case _: Throwable => () }
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[graft.JdbcStore] failed to drop staging table $staging " +
+              s"(left behind at $url): ${e.getClass.getName}: ${e.getMessage}")
+      }
       conn.close()
     }
   }

@@ -22,10 +22,31 @@ object StreamingOps {
     */
   @volatile private[graft] var lastSinkPath: String = ""
 
+  /** Every wrapper-created temp dir is swept by one JVM shutdown hook —
+    * a long-lived session running many streaming queries can't accumulate
+    * unbounded /tmp data. Eager deletion isn't possible (the returned
+    * DataFrame still reads the dir), so the sweep runs at exit.
+    */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { d =>
+        try {
+          val p = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () } // sweep is best-effort at exit
+      }
+    }, "graft-stream-tmp-sweep"))
+  }
+
   private def sinkDirs(tag: String): (String, String) = {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_stream_${tag}_${counter.incrementAndGet()}")
       .toString
+    tempDirs.add(dir)
     (s"$dir/result.parquet", s"$dir/chk")
   }
 
@@ -191,6 +212,89 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Rows the last lateDataWindowedAgg run dropped at the watermark —
+    * test hook so specs can assert the discard actually happened (the
+    * state-store metric, not an inference from row counts).
+    */
+  @volatile private[graft] var lastDroppedByWatermark: Long = -1L
+
+  /** Watermark late-data discard, exercised for real: the input is staged
+    * as THREE files with ordered modification times — files A and B
+    * together map every event into day-2 hourly windows, file C maps the
+    * same events into day-1 windows — and the stream reads them with
+    * maxFilesPerTrigger=1. Spark filters late rows with the watermark
+    * COMMITTED BEFORE the current batch (a one-batch delay — a two-file
+    * input would absorb the late file, which is exactly what the first
+    * version of this operator got wrong), so the drop needs the late file
+    * in batch 3: batches 1-2 commit the watermark at max(day-2 ts) - 1h,
+    * and every file-C row is then a full day behind it and MUST be
+    * dropped. In append mode the output contains exactly the day-2
+    * windows the final watermark closed (end <= watermark — verified
+    * boundary). Both rules are oracle-visible: undropped late rows would
+    * surface as day-1 windows (well past the final watermark, so they
+    * would be emitted), and never-closed trailing windows must be
+    * withheld.
+    */
+  def lateDataWindowedAgg(spark: SparkSession, eventsParquet: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val ev = spark.read.parquet(eventsParquet)
+    def staged(day: String, half: Option[Int]): DataFrame = {
+      val base = half.fold(ev)(h => ev.filter(pmod(col("event_id"), lit(2)) === h))
+      base.select(
+        (to_timestamp(lit(day)) +
+          expr("make_interval(0, 0, 0, 0, CAST(event_id % 24 AS INT), 0, 0)")).as("ts"),
+        col("value"))
+    }
+    val inDir = Files
+      .createTempDirectory(s"graft_stream_late_in_${counter.incrementAndGet()}")
+      .toString
+    tempDirs.add(inDir)
+    // one data file per batch: move each write's single part file into the
+    // stream dir and pin mtimes so the file source discovers A before B
+    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$inDir/_stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      Files.move(part, Paths.get(inDir, name))
+      Files.walk(Paths.get(tmp))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      Files.setLastModifiedTime(Paths.get(inDir, name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stageOne(staged("2026-01-02 00:00:00", Some(0)), "a_ontime.parquet", 1000000000000L)
+    stageOne(staged("2026-01-02 00:00:00", Some(1)), "b_ontime.parquet", 1000000001000L)
+    stageOne(staged("2026-01-01 00:00:00", None), "c_late.parquet", 1000000002000L)
+
+    val agg = spark.readStream.schema(staged("2026-01-02 00:00:00", None).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("ws"), col("n"), col("total_value"))
+    val (out, chk) = sinkDirs("late")
+    val q = agg.writeStream
+      .outputMode("append") // append: only watermark-closed windows land
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastSinkPath = out
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println("[late-debug] " + p.json))
+    lastDroppedByWatermark = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).map(_.toSeq).getOrElse(Seq.empty))
+      .map(_.numRowsDroppedByWatermark).sum
+    spark.read.parquet(out)
+      .select(col("ws").cast("timestamp_ntz").as("window_start"),
+        col("n"), col("total_value"))
   }
 
   /** Stateful per-user sessionization via flatMapGroupsWithState-style

@@ -198,8 +198,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("multimodal stub: schema, determinism, batch shape") {
+    // "video" is the one stub-dispatched kind left (images decode for real)
     val media = docs.limit(10)
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"), lit("image").as("kind"))
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"), lit("video").as("kind"))
     val feats = Multimodal.extractFeatures(media, dim = 16)
     val rows = feats.collect()
     assert(rows.length === 10)

@@ -92,16 +92,94 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("extractFeatures dispatches bmp to the real decoder") {
-    val payload = Multimodal.syntheticBmp(42L)
-    val df = Seq((42L, payload, "bmp"), (43L, payload, "jpeg"))
+  test("extractFeatures dispatches every image kind to a real decoder; video to the stub") {
+    val bmp = Multimodal.syntheticBmp(42L)
+    val png = Multimodal.syntheticPng(42L)
+    val df = Seq((42L, bmp, "bmp"), (43L, png, "png"), (44L, bmp, "video"))
       .toDF("doc_id", "payload", "kind")
     val got = Multimodal.extractFeatures(df, dim = 8).collect()
       .map(f => f.doc_id -> f).toMap
-    // bmp: real header dims
-    assert(got(42L).width === 1 + (42 % 16) && got(42L).height === 1 + (42 % 8))
-    // stub kinds keep the fake-dims contract (>= 64 by construction)
-    assert(got(43L).width >= 64)
+    // bmp and png: real header dims (same closed forms for id 42)
+    val (w, h) = (1 + (42 % 16), 1 + (42 % 8))
+    assert(got(42L).width === w && got(42L).height === h)
+    assert(got(43L).width === w && got(43L).height === h)
+    // identical pixels -> identical channel-mean features across codecs
+    assert(got(42L).feature.toSeq === got(43L).feature.toSeq)
+    // only video keeps the stub's fake-dims contract (>= 64 by construction)
+    assert(got(44L).width >= 64)
     assert(got(42L).feature.length === 8)
+  }
+
+  test("extractFeatures fails loudly on an unknown kind") {
+    val df = Seq((1L, Multimodal.syntheticBmp(1L), "tiff")).toDF("doc_id", "payload", "kind")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(df, dim = 4).collect()
+    }
+    assert(e.getCause != null || e.getMessage.contains("tiff"))
+  }
+
+  test("PNG round-trip through ImageIO preserves every pixel") {
+    val enc = Multimodal.encodeImage(3, 2, "png", (x, y) => (x * 10 + y, 100 + x, 200 + y))
+    val img = Multimodal.decodeImage(enc)
+    assert(img.getWidth === 3 && img.getHeight === 2)
+    for (x <- 0 until 3; y <- 0 until 2) {
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xFF) === x * 10 + y, s"R at ($x,$y)")
+      assert(((p >> 8) & 0xFF) === 100 + x, s"G at ($x,$y)")
+      assert((p & 0xFF) === 200 + y, s"B at ($x,$y)")
+    }
+  }
+
+  test("synthetic PNG stats match the mm_decode closed forms (lossless)") {
+    val ids = Seq(0L, 1L, 15L, 16L, 199L, 200L, 12345L)
+    val df = ids.map(id => (id, Multimodal.syntheticPng(id))).toDF("doc_id", "payload")
+    val got = Multimodal.decodeImageStats(df).collect().map(s => s.doc_id -> s).toMap
+    for (id <- ids) {
+      val s = got(id)
+      val w = 1 + (id % 16).toInt
+      assert(s.width === w && s.height === 1 + (id % 8).toInt, s"dims for id $id")
+      assert(s.mean_r === (id % 200) + (w - 1) / 2.0, s"mean_r for id $id")
+      assert(s.mean_g === ((id * 3 + 7) % 256).toDouble, s"mean_g for id $id")
+      assert(s.mean_b === ((id * 5 + 11) % 256).toDouble, s"mean_b for id $id")
+    }
+  }
+
+  test("JPEG decodes for real: exact dims, channel means within lossy tolerance") {
+    // flat-color image: JPEG's DCT is near-exact on constant blocks
+    val enc = Multimodal.encodeImage(16, 16, "jpg", (_, _) => (120, 80, 40))
+    assert(enc.length >= 4 && (enc(0) & 0xFF) === 0xFF && (enc(1) & 0xFF) === 0xD8, "not a JPEG (SOI)")
+    val img = Multimodal.decodeImage(enc)
+    assert(img.getWidth === 16 && img.getHeight === 16)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (x <- 0 until 16; y <- 0 until 16) {
+      val p = img.getRGB(x, y)
+      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+    }
+    val n = 256.0
+    assert(math.abs(sr / n - 120) <= 4, s"mean R ${sr / n}")
+    assert(math.abs(sg / n - 80) <= 4, s"mean G ${sg / n}")
+    assert(math.abs(sb / n - 40) <= 4, s"mean B ${sb / n}")
+  }
+
+  test("decodeImage rejects undecodable payloads") {
+    intercept[IllegalArgumentException](Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)))
+  }
+
+  test("adversarial BMP headers fail validation, not allocation (overflow guard)") {
+    val ok = Multimodal.encodeBmp(4, 4, (_, _) => (1, 2, 3))
+    // forge width = 2^30: Int arithmetic on rowSize*height would overflow
+    // into a passing truncation check; the Long path must reject it
+    val forged = ok.clone()
+    val b = java.nio.ByteBuffer.wrap(forged).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(18, 1 << 30) // BITMAPINFOHEADER width field
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(forged))
+  }
+
+  test("WAV fmt chunk smaller than 16 bytes is a clean validation error") {
+    val ok = Multimodal.encodeWav(8000, Array[Short](1, 2, 3, 4))
+    val bad = ok.clone()
+    val b = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(16, 8) // fmt chunk size field: claim 8 bytes (fields need 16)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
   }
 }

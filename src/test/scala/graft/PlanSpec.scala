@@ -45,6 +45,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("sorted-neighborhood pairing is join-free: one window, O(n x k) pairs") {
+    val df = graft.queries.Catalog.queries("er_sorted_neighbors")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "lead()-window pairing must not plan a self-join:\n" + p.take(800))
+    assert(p.contains("Window"), p.take(400))
+    // pair volume bound: strictly fewer than n * window pairs
+    val n = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(df.count() < n * 4)
+  }
+
+  test("ANN LSH candidate dedup carries ids only, never embedding payloads") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = graft.operators.Ann
+      .lshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "vec_id", "embedding", 3,
+        bits = 4, tables = 4)
+      .queryExecution.optimizedPlan
+    // the candidate distinct is the Aggregate whose output = grouping keys;
+    // none of its columns may be an array (the embeddings join back later)
+    val distincts = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.length == a.groupingExpressions.length => a
+    }
+    assert(distincts.nonEmpty, "expected a distinct Aggregate in the LSH plan")
+    distincts.foreach(_.output.foreach(attr =>
+      assert(!attr.dataType.isInstanceOf[ArrayType],
+        s"candidate distinct shuffles array column '${attr.name}'")))
+  }
+
   test("custom expressions execute inside whole-stage codegen") {
     // assert on a shuffle-free parquet-sourced plan: AQE-wrapped plans
     // report no codegen subtrees until executed, local relations never

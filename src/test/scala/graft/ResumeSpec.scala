@@ -129,6 +129,41 @@ class ResumeSpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("lineage refusal localizes the corruption to a named part file") {
+    val root = tmpRoot()
+    try {
+      StageStore.runStage(spark, root, "s5", "v1", "fp") {
+        spark.range(1000).toDF("id").repartition(4)
+      }
+      // clobber part B with a copy of part A: the directory still reads as
+      // valid parquet, but partition B's content no longer matches its
+      // recorded (rows, checksum) — the refusal must NAME file B
+      val parts = Files.list(Paths.get(root, "s5", "data.parquet"))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .sorted().toArray(new Array[java.nio.file.Path](_))
+      assert(parts.length >= 2)
+      Files.copy(parts(0), parts(1),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // keep Hadoop's local-FS .crc sidecar consistent with the new bytes:
+      // the corruption under test is wrong CONTENT, not bit rot
+      def crc(p: java.nio.file.Path) =
+        p.resolveSibling("." + p.getFileName.toString + ".crc")
+      if (Files.exists(crc(parts(0))))
+        Files.copy(crc(parts(0)), crc(parts(1)),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val e = intercept[IllegalStateException] {
+        StageStore.runStage(spark, root, "s5", "v1", "fp") {
+          spark.range(1000).toDF("id").repartition(4)
+        }.count()
+      }
+      assert(e.getMessage.contains("lineage"))
+      assert(e.getMessage.contains(parts(1).getFileName.toString),
+        s"refusal must name the corrupt file: ${e.getMessage}")
+      assert(!e.getMessage.contains(parts(0).getFileName.toString),
+        "intact files must not be implicated")
+    } finally rmrf(root)
+  }
+
   test("full pipeline run resumes mid-pipeline with identical final output") {
     val root = tmpRoot()
     try {

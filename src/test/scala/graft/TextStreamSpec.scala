@@ -137,6 +137,32 @@ class TextStreamSpec extends SparkSpec {
       s"multi-batch first-seen diverged from the batch oracle: $got")
   }
 
+  test("watermark genuinely discards late rows (append mode, state-store metric)") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val got = StreamingOps.lateDataWindowedAgg(spark, path)
+      .orderBy("window_start").collect()
+    // the discard is asserted from the state store's own counter (the
+    // filter runs post-partial-aggregation, so the count is in window
+    // keys, not raw rows — nonzero means the drop really happened)
+    assert(StreamingOps.lastDroppedByWatermark > 0,
+      s"late rows absorbed, not dropped (metric ${StreamingOps.lastDroppedByWatermark})")
+    // batch oracle: the day-2 windows the final watermark closed
+    val ontime = spark.read.parquet(path).select(
+      (to_timestamp(lit("2026-01-02 00:00:00")) +
+        expr("make_interval(0, 0, 0, 0, CAST(event_id % 24 AS INT), 0, 0)")).as("ts"),
+      $"value")
+    val wm = ontime.agg(max($"ts") - expr("INTERVAL 1 HOUR")).head().getTimestamp(0)
+    val expect = ontime
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .filter($"window.end" <= lit(wm))
+      .select($"window.start".cast("timestamp_ntz").as("window_start"),
+        $"n", $"total_value")
+      .orderBy("window_start").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("streaming changelog upserts converge the JDBC target to the batch answer") {
     import graft.sources.JdbcStore
     val path = "/root/testdata/sf0.001/events.parquet"
