@@ -344,6 +344,112 @@ object Multimodal {
       }
   }
 
+  // ==== REAL FRAME SAMPLING: animated GIF (multi-frame container) ======
+
+  /** Encode an animated GIF; `px(frame, x, y)` returns (r, g, b). The JDK
+    * GIF writer stores each frame verbatim (no inter-frame delta), so
+    * solid/flat frames decode back exactly — fixture generator with
+    * closed-form stats, like encodeBmp/encodeImage.
+    */
+  def encodeGif(width: Int, height: Int, frames: Int,
+      px: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0,
+      s"bad gif shape ${width}x$height x$frames")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val (r, g, b) = px(f, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode every frame of an animated GIF through the JDK's ImageIO
+    * reader (LZW decode, palette lookup, per-frame rasters). Fails loudly
+    * on non-GIF payloads.
+    */
+  def decodeGifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    require(payload.length >= 6 &&
+      new String(payload, 0, 3, "US-ASCII") == "GIF", "not a GIF (bad magic)")
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no GIF reader")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n > 0, "GIF has no frames")
+      (0 until n).map(reader.read(_, null))
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Deterministic synthetic animated GIF keyed by doc_id: frame count,
+    * dims and per-frame solid colors are closed-form functions of the id
+    * (frames = 1 + id%8, r(f) = (id*7 + f*13) % 256), so frame-sampled
+    * stats have an ANSI-SQL closed form.
+    */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val frames = 1 + (docId % 8).toInt
+    val w = 2 + (docId % 8).toInt
+    val h = 2 + (docId % 4).toInt
+    val g = ((docId * 3 + 11) % 256).toInt
+    val b = ((docId * 5 + 29) % 256).toInt
+    encodeGif(w, h, frames, (f, _, _) => (((docId * 7 + f * 13) % 256).toInt, g, b))
+  }
+
+  final case class GifStats(
+      doc_id: Long, n_frames: Int, width: Int, height: Int,
+      n_sampled: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL frame sampling over a (doc_id, payload) table of animated GIFs:
+    * decode the container, keep every `stride`th frame (frame 0, stride,
+    * 2*stride, ...), report channel means over the sampled frames — the
+    * sample-every-Nth-frame shape of a video feature pipeline, on a
+    * container the JVM genuinely decodes. Batched per partition.
+    */
+  def decodeGifStats(df: DataFrame, stride: Int = 2): Dataset[GifStats] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    implicit val enc = Encoders.product[GifStats]
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val frames = decodeGifFrames(r.getAs[Array[Byte]]("payload"))
+          val sampled = frames.indices.by(stride).map(frames)
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          sampled.foreach { img =>
+            val (mr, mg, mb) = channelStats(img)
+            sr += mr; sg += mg; sb += mb
+          }
+          val k = sampled.length.toDouble
+          GifStats(r.getLong(0), frames.length,
+            frames.head.getWidth, frames.head.getHeight,
+            sampled.length, sr / k, sg / k, sb / k)
+        }
+      }
+  }
+
   final case class MediaFeatures(
       doc_id: Long,
       kind: String,
@@ -369,11 +475,12 @@ object Multimodal {
   }
 
   /** ==== STUB ==== deterministic fake decoder, reachable ONLY for kind
-    * "video" (the single format with no JVM codec — the JDK ships no
-    * video decoder): a real implementation would parse the container and
-    * sample frames here. Shape contract (dims + fixed-size feature
-    * vector) is the real one; every image kind (bmp/png/jpeg/gif) and
-    * audio decode for real above.
+    * "video" (mp4/mov-style containers, for which the JDK ships no
+    * codec): a real implementation would parse the container and sample
+    * frames here. Shape contract (dims + fixed-size feature vector) is
+    * the real one; every image kind (bmp/png/jpeg/gif), audio, and
+    * multi-frame animated-GIF sampling (decodeGifStats) decode for real
+    * above.
     */
   def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
     var h = 1125899906842597L
@@ -440,8 +547,10 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling stub for video-like payloads: deterministic frame
-    * offsets (every `stride` bytes stands in for every Nth frame).
+  /** Byte-stride frame-offset stub for codec-less video payloads (every
+    * `stride` bytes stands in for every Nth frame). The REAL
+    * frame-sampling path for containers the JVM can decode is
+    * decodeGifStats above.
     */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame =
     df.select(col("doc_id"), col("payload"))

@@ -1031,6 +1031,42 @@ object Catalog {
       |  round(CAST((doc_id * 5 + 11) % 256 AS DOUBLE), 4) AS mean_b
       |FROM documents""".stripMargin
 
+  /** REAL multi-frame sampling: synthesize an animated GIF per doc_id
+    * (frame count / dims / per-frame solid colors are closed-form
+    * functions of the id), decode the container with the JDK's GIF
+    * reader (LZW, palettes, frame enumeration), sample every 2nd frame,
+    * report frame count + dims + channel means over the sampled frames —
+    * the sample-every-Nth-frame shape of a video feature pipeline on a
+    * container the JVM genuinely decodes. The oracle recomputes the
+    * sampled-frame means with modular arithmetic over the frame index.
+    */
+  val mmDecodeGif: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticGif(id)))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeGifStats(payloads, stride = 2)
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+        col("n_sampled"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+  }
+
+  val mmDecodeGifSql: String =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 8 AS INT) AS n_frames,
+      |  CAST(2 + doc_id % 8 AS INT) AS width,
+      |  CAST(2 + doc_id % 4 AS INT) AS height,
+      |  CAST((2 + doc_id % 8) // 2 AS INT) AS n_sampled,
+      |  round(list_aggregate(list_transform(
+      |      generate_series(0, CAST((doc_id % 8) // 2 AS INT)),
+      |      j -> CAST((doc_id * 7 + 26 * j) % 256 AS DOUBLE)), 'avg'), 4) AS mean_r,
+      |  round(CAST((doc_id * 3 + 11) % 256 AS DOUBLE), 4) AS mean_g,
+      |  round(CAST((doc_id * 5 + 29) % 256 AS DOUBLE), 4) AS mean_b
+      |FROM documents""".stripMargin
+
   /** Second real decoder, audio: synthesize a valid mono 16-bit PCM WAV
     * per doc_id (linear amplitude ramp — closed-form stats), parse it with
     * the pure-JVM RIFF/PCM reader (chunk walk, fmt validation), report
@@ -1168,6 +1204,7 @@ object Catalog {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
+    "mm_decode_gif" -> mmDecodeGif,
     "mm_decode_wav" -> mmDecodeWav,
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
@@ -1217,6 +1254,7 @@ object Catalog {
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,
+    "mm_decode_gif" -> mmDecodeGifSql,
     "mm_decode_wav" -> mmDecodeWavSql,
     "stream_windowed_agg" -> streamWindowedAggSql,
     "stream_sessionize" -> streamSessionizeSql,

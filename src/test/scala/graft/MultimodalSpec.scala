@@ -165,6 +165,59 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)))
   }
 
+  test("hand-rolled BMP parser agrees with ImageIO's independent BMP decoder") {
+    // differential test: the JDK ships its own BMP reader; every pixel of
+    // the hand-rolled parser must match it on awkward (padded) widths
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(7)
+      val px = Array.fill(w * h)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val enc = Multimodal.encodeBmp(w, h, (x, y) => px(y * w + x))
+      val ours = Multimodal.decodeBmp(enc)
+      val jdk = Multimodal.decodeImage(enc)
+      assert(jdk.getWidth === w && jdk.getHeight === h, s"trial $trial dims")
+      for (x <- 0 until w; y <- 0 until h) {
+        val p = jdk.getRGB(x, y)
+        assert(ours.channel(x, y, 0) === ((p >> 16) & 0xFF), s"trial $trial R($x,$y)")
+        assert(ours.channel(x, y, 1) === ((p >> 8) & 0xFF), s"trial $trial G($x,$y)")
+        assert(ours.channel(x, y, 2) === (p & 0xFF), s"trial $trial B($x,$y)")
+      }
+    }
+  }
+
+  test("animated GIF round-trip: frame count and per-frame solid colors survive") {
+    val enc = Multimodal.encodeGif(4, 3, 5, (f, _, _) => (40 * f, 100, 200))
+    val frames = Multimodal.decodeGifFrames(enc)
+    assert(frames.length === 5)
+    for (f <- 0 until 5) {
+      val img = frames(f)
+      assert(img.getWidth === 4 && img.getHeight === 3)
+      val p = img.getRGB(1, 1)
+      assert(((p >> 16) & 0xFF) === 40 * f, s"frame $f R")
+      assert(((p >> 8) & 0xFF) === 100 && (p & 0xFF) === 200, s"frame $f GB")
+    }
+    intercept[IllegalArgumentException](Multimodal.decodeGifFrames(Array[Byte](1, 2, 3)))
+  }
+
+  test("synthetic GIF frame-sampled stats match their closed forms") {
+    val ids = Seq(0L, 1L, 7L, 8L, 123L, 54321L)
+    val df = ids.map(id => (id, Multimodal.syntheticGif(id))).toDF("doc_id", "payload")
+    val got = Multimodal.decodeGifStats(df, stride = 2).collect()
+      .map(s => s.doc_id -> s).toMap
+    for (id <- ids) {
+      val s = got(id)
+      val n = 1 + (id % 8).toInt
+      assert(s.n_frames === n, s"frames for id $id")
+      assert(s.width === 2 + (id % 8).toInt && s.height === 2 + (id % 4).toInt)
+      val sampled = 0 until n by 2
+      assert(s.n_sampled === sampled.length)
+      val meanR = sampled.map(f => ((id * 7 + f * 13) % 256).toDouble).sum / sampled.length
+      assert(s.mean_r === meanR, s"mean_r for id $id")
+      assert(s.mean_g === ((id * 3 + 11) % 256).toDouble)
+      assert(s.mean_b === ((id * 5 + 29) % 256).toDouble)
+    }
+  }
+
   test("adversarial BMP headers fail validation, not allocation (overflow guard)") {
     val ok = Multimodal.encodeBmp(4, 4, (_, _) => (1, 2, 3))
     // forge width = 2^30: Int arithmetic on rowSize*height would overflow
