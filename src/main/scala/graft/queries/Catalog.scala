@@ -69,6 +69,35 @@ object Catalog {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Co-located join via bucketed tables — the 100 TB lever for fact-fact
+    * joins where neither side broadcasts: both tables are written
+    * bucketed (+ sorted) on the join key, so the sort-merge join needs NO
+    * exchange and NO sort on either side (PlanSpec asserts zero
+    * exchanges with broadcast disabled). The merge hint keeps the plan on
+    * the bucket-aware SMJ path even at oracle scale where the dimension
+    * would otherwise broadcast.
+    */
+  val qBucketedJoin: Q = (s, dir) => {
+    val sfName = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val bo = s"b_orders$sfName"; val bc = s"b_customer$sfName"
+    t(s, dir, "orders").select("o_custkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(bo)
+    t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(bc)
+    s.table(bo).hint("merge")
+      .join(s.table(bc), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 2).as("avg_price"))
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** Multi-join over the dimension chain (all broadcastable). */
   val qMultiJoin: Q = (s, dir) =>
     t(s, dir, "supplier")
@@ -1166,6 +1195,7 @@ object Catalog {
     "q_agg_sum" -> qAggSum,
     "q_filter_project" -> qFilterProject,
     "q_join_agg" -> qJoinAgg,
+    "q_bucketed_join" -> qBucketedJoin,
     "q_multi_join" -> qMultiJoin,
     "q_window_topk" -> qWindowTopk,
     "q_union_distinct" -> qUnionDistinct,
@@ -1216,6 +1246,7 @@ object Catalog {
     "q_agg_sum" -> qAggSumSql,
     "q_filter_project" -> qFilterProjectSql,
     "q_join_agg" -> qJoinAggSql,
+    "q_bucketed_join" -> qBucketedJoinSql,
     "q_multi_join" -> qMultiJoinSql,
     "q_window_topk" -> qWindowTopkSql,
     "q_union_distinct" -> qUnionDistinctSql,

@@ -75,6 +75,69 @@ class PlanSpec extends SparkSpec {
         s"candidate distinct shuffles array column '${attr.name}'")))
   }
 
+  test("bucketed join runs with ZERO exchanges (co-located join lever)") {
+    import org.apache.spark.sql.functions.col
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // disable broadcast so the assertion exercises the bucket-aware SMJ
+      // path a fact-fact join at 100 TB would take
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS ps_orders")
+      spark.sql("DROP TABLE IF EXISTS ps_customer")
+      spark.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("ps_orders")
+      spark.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("ps_customer")
+      val j = spark.table("ps_orders").hint("merge")
+        .join(spark.table("ps_customer"), col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(600))
+      // the shuffle is the scale cost; the elimination is the lever. (The
+      // per-bucket Sort stays — Spark 4 does not propagate sortBy order
+      // even for single-file buckets — but it sorts already-sorted runs
+      // inside each bucket, never across the network.)
+      assert(!p.contains("Exchange"),
+        "bucketed-on-join-key tables must join without any shuffle:\n" + p.take(800))
+      assert(p.contains("Bucketed: true"),
+        "scan must report bucketed layout:\n" + p.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS ps_orders")
+      spark.sql("DROP TABLE IF EXISTS ps_customer")
+    }
+  }
+
+  test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_partprune").toString
+    try {
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(tmp)
+      val days = spark.read.parquet(tmp).select("day").distinct().collect()
+      assert(days.length >= 2, "need multiple partitions to prove pruning")
+      val one = days.map(_.getDate(0).toString).min
+      val q = spark.read.parquet(tmp).filter(col("day") === one)
+      val scan = q.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("day"),
+        "day predicate must become a partition filter:\n" + scan.take(800))
+      // the pruned scan must actually read fewer files than exist
+      val allFiles = q.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numFiles")
+      }
+      q.count() // populate metrics
+      val read = allFiles.flatten.map(_.value).sum
+      val total = new java.io.File(tmp).listFiles().count(_.getName.startsWith("day="))
+      assert(read < total, s"scan read $read file(s) of $total partitions — no pruning")
+    } finally {
+      val p = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("custom expressions execute inside whole-stage codegen") {
     // assert on a shuffle-free parquet-sourced plan: AQE-wrapped plans
     // report no codegen subtrees until executed, local relations never
