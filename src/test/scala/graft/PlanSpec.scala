@@ -138,6 +138,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits skewed join partitions at runtime (skew lever)") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // shrink the skew thresholds to test-data scale; broadcast off so
+      // the join actually shuffles (the 100 TB fact-fact shape)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one pathological key holds half the fact rows — the hot-key shape
+      // salting guards against in the pipeline; here AQE must re-plan it
+      val fact = spark.range(200000).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(100))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // NOTE no keyed agg above the join: a parent requiring
+      // hashpartitioning(k) vetoes the skew split (it would break the
+      // distribution) unless forceOptimizeSkewedJoin pays an extra shuffle
+      val j = fact.join(dim, "k")
+      j.collect() // execute so AQE finalizes the plan
+      val p = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          assert(a.toString.contains("isFinalPlan=true"), a.toString.take(300))
+          a.executedPlan.toString // the re-planned subtree AQE settled on
+        case other => other.toString
+      }
+      assert(p.contains("skew=true") || p.toLowerCase.contains("skewed"),
+        "AQE must mark the hot partition skewed and split it:\n" + p.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("custom expressions execute inside whole-stage codegen") {
     // assert on a shuffle-free parquet-sourced plan: AQE-wrapped plans
     // report no codegen subtrees until executed, local relations never
