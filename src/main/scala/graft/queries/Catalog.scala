@@ -80,6 +80,20 @@ object Catalog {
   val qBucketedJoin: Q = (s, dir) => {
     val sfName = dir.replaceAll("[^A-Za-z0-9]", "_")
     val bo = s"b_orders$sfName"; val bc = s"b_customer$sfName"
+    // a FRESH session's in-memory catalog has forgotten tables a previous
+    // JVM wrote, but their warehouse locations persist and block
+    // saveAsTable — drop the entry AND clear the orphaned location
+    def fresh(name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:").stripPrefix("//")
+      val p = java.nio.file.Paths.get(wh, name.toLowerCase)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    fresh(bo); fresh(bc)
     t(s, dir, "orders").select("o_custkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable(bo)
@@ -877,6 +891,29 @@ object Catalog {
       .select(col("n"), (col("recall") >= 0.7).as("recall_ok"))
   }
 
+  /** Int8-quantized ANN recall vs the float-exact baseline — the storage
+    * lever (4x smaller vectors in memory and shuffles). Same
+    * driver-checkable shape as ann_lsh_recall; quantization is a pure
+    * deterministic expression, so the boolean is stable. Floor 0.9:
+    * measured 0.95-1.0 on these structureless vectors (rank inversions
+    * happen only between neighbors within ~1% cosine of each other).
+    */
+  val annQuantizedRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Ann.quantizedRecall(e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", 5)
+      .select(col("n"), (col("recall") >= 0.9).as("recall_ok"))
+  }
+
+  val annQuantizedRecallSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n, true AS recall_ok FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rk
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 20)
+      |WHERE rk <= 5""".stripMargin
+
   val annIvfRecallSql: String =
     """SELECT CAST(count(*) AS BIGINT) AS n, true AS recall_ok FROM (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1227,6 +1264,7 @@ object Catalog {
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_lsh_recall" -> annLshRecall,
     "ann_ivf_recall" -> annIvfRecall,
+    "ann_quantized_recall" -> annQuantizedRecall,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -1278,6 +1316,7 @@ object Catalog {
     "ann_bruteforce_topk" -> annBruteforceTopkSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "ann_ivf_recall" -> annIvfRecallSql,
+    "ann_quantized_recall" -> annQuantizedRecallSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

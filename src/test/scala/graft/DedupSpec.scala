@@ -197,6 +197,30 @@ class DedupSpec extends SparkSpec {
     assert(recall === again)
   }
 
+  test("int8 quantization: bounded round-trip error, near-perfect recall") {
+    import org.apache.spark.sql.functions.col
+    val e = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    // round-trip error bound: |x - deq(q(x))| <= scale/2 per component
+    val rt = e.select(
+      col("embedding").cast("array<double>").as("x"),
+      Ann.dequantize(Ann.quantize(col("embedding"))).as("y"),
+      Ann.quantize(col("embedding")).getField("scale").as("s"))
+      .collect()
+    rt.foreach { r =>
+      val x = r.getSeq[Double](0); val y = r.getSeq[Double](1); val s = r.getDouble(2)
+      x.zip(y).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= s / 2 + 1e-12, s"component error ${math.abs(a - b)} > ${s / 2}")
+      }
+    }
+    val r = Ann.quantizedRecall(e.filter($"vec_id" < 10), e, "vec_id", "vec_id", "embedding", 5)
+      .head()
+    val recall = r.getDouble(0)
+    info(s"quantized recall=$recall")
+    assert(recall >= 0.9, s"int8 recall $recall too low")
+  }
+
   test("multimodal stub: schema, determinism, batch shape") {
     // "video" is the one stub-dispatched kind left (images decode for real)
     val media = docs.limit(10)
