@@ -89,6 +89,52 @@ object TextAnalysis {
 
   def whitespaceTokenCount(text: Column): Column = wordCount(text)
 
+  // ---- PII scrubbing (training-data redaction) ----------------------
+
+  /** Conservative PII patterns, written in the common subset of Java
+    * regex (Spark) and RE2 (DuckDB) so the oracle twin matches
+    * byte-for-byte. Real pipelines carry larger pattern sets; the
+    * redact-and-count mechanism is the production shape.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def emailCount(text: Column): Column =
+    regexp_count(Normalize.emptyIfNull(text), lit(EmailPattern))
+
+  def phoneCount(text: Column): Column =
+    regexp_count(Normalize.emptyIfNull(text), lit(PhonePattern))
+
+  /** Redact emails then phones (order matters and is part of the spec:
+    * an email is never half-eaten by the phone pattern).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(Normalize.emptyIfNull(text), EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  // ---- Repetition filters (Gopher/C4-style quality heuristics) ------
+
+  /** Fraction of words that are distinct — low values flag the repeated
+    * boilerplate a Gopher-style filter drops. 0.0 for empty docs.
+    */
+  def uniqueWordFrac(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) === 0 || (size(ws) === 1 && element_at(ws, 1) === ""), lit(0.0))
+      .otherwise(size(array_distinct(ws)).cast("double") / size(ws))
+  }
+
+  /** Word bigrams of the canonical text (for the top-bigram-fraction
+    * repetition signal — computed by explode + groupBy in the catalog
+    * query, the shape that scales past per-row array aggregation).
+    */
+  def wordBigrams(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+  }
+
   /** Content fingerprint: md5 of the canonical text (exact-dedup key,
     * join-stable across engines).
     */

@@ -1008,6 +1008,86 @@ object Catalog {
       |  len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
       |FROM documents""".stripMargin
 
+  /** PII scrubbing: every doc gets a deterministically planted email and
+    * phone appended (so the oracle verifies ACTUAL redaction, not a
+    * no-op), then the redactor rewrites them and the counters report
+    * what was found. Patterns live in the Java-regex/RE2 common subset
+    * so both engines match byte-for-byte.
+    */
+  val textRedactPii: Q = (s, dir) => {
+    val planted = concat(
+      Normalize.emptyIfNull(col("text")),
+      lit(" contact user"), col("doc_id"), lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.emailCount(planted).as("n_emails"),
+      TextAnalysis.phoneCount(planted).as("n_phones"),
+      TextAnalysis.redactPii(planted).as("redacted"))
+  }
+
+  val textRedactPiiSql: String = {
+    val e = TextAnalysis.EmailPattern
+    val p = TextAnalysis.PhonePattern
+    s"""WITH pl AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '') || ' contact user' || doc_id || '@example.com or call 555-'
+       |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$e')) AS n_emails,
+       |  len(regexp_extract_all(t, '$p')) AS n_phones,
+       |  regexp_replace(regexp_replace(t, '$e', '[EMAIL]', 'g'), '$p', '[PHONE]', 'g') AS redacted
+       |FROM pl""".stripMargin
+  }
+
+  /** Gopher/C4-style repetition signals: unique-word fraction (per-row
+    * array expression) and top-bigram fraction via explode + two keyed
+    * aggregations — the shape that scales past per-row aggregation when
+    * documents are megabytes (the bigram shuffle is keyed by doc_id, so
+    * fan-out is bounded by document length, never corpus size).
+    */
+  val textRepetition: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val base = d.select(col("doc_id"),
+      TextAnalysis.wordCount(col("text")).as("n_words"),
+      round(TextAnalysis.uniqueWordFrac(col("text")), 4).as("uniq_word_frac"))
+    val bigrams = d.select(col("doc_id"),
+      explode(TextAnalysis.wordBigrams(col("text"))).as("g"))
+    val top = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_bigrams"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("uniq_word_frac"),
+        round(coalesce(col("top_c").cast("double") / col("n_bigrams"), lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(canon) = 0 THEN 0 ELSE len(string_split(canon, ' ')) END AS n_words,
+      |    string_split(canon, ' ') AS ws, canon
+      |  FROM c),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1])) AS g
+      |  FROM w WHERE canon <> '' AND len(ws) >= 2),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams
+      |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+      |SELECT w.doc_id, w.n_words,
+      |  round(CASE WHEN w.n_words = 0 THEN 0.0
+      |    ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / w.n_words END, 4) AS uniq_word_frac,
+      |  round(coalesce(CAST(top.top_c AS DOUBLE) / top.n_bigrams, 0.0), 4) AS top_bigram_frac
+      |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin
+
   val textFingerprint: Q = (s, dir) =>
     t(s, dir, "documents").select(
       col("doc_id"), TextAnalysis.docFingerprint(col("text")).as("fp"))
@@ -1268,6 +1348,8 @@ object Catalog {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
+    "text_redact_pii" -> textRedactPii,
+    "text_repetition" -> textRepetition,
     "text_fingerprint" -> textFingerprint,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
@@ -1320,6 +1402,8 @@ object Catalog {
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
+    "text_redact_pii" -> textRedactPiiSql,
+    "text_repetition" -> textRepetitionSql,
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,

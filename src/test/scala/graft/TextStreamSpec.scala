@@ -43,6 +43,38 @@ class TextStreamSpec extends SparkSpec {
     assert(r.getInt(1) === 5)
   }
 
+  test("PII redaction rewrites emails and phones, counts what it found") {
+    val r = Seq("mail a.b-c@foo.co.uk now or 555-123-4567, else 12-34").toDF("text")
+      .select(
+        TextAnalysis.emailCount($"text").as("ne"),
+        TextAnalysis.phoneCount($"text").as("np"),
+        TextAnalysis.redactPii($"text").as("red"))
+      .head()
+    assert(r.getInt(0) === 1 && r.getInt(1) === 1)
+    assert(r.getString(2) === "mail [EMAIL] now or [PHONE], else 12-34")
+    // word-boundary guard: digits embedded in longer runs don't match
+    val r2 = Seq("id 9555-123-45678 x").toDF("text")
+      .select(TextAnalysis.phoneCount($"text")).head()
+    assert(r2.getInt(0) === 0)
+  }
+
+  test("repetition signals: unique-word and bigram fractions") {
+    val r = Seq("spam spam spam ham").toDF("text")
+      .select(
+        round(TextAnalysis.uniqueWordFrac($"text"), 4).as("uw"),
+        TextAnalysis.wordBigrams($"text").as("bg"))
+      .head()
+    assert(r.getDouble(0) === 0.5) // {spam, ham} of 4
+    assert(r.getSeq[String](1) === Seq("spam spam", "spam spam", "spam ham"))
+    // degenerate shapes
+    val d = Seq("", "one").toDF("text")
+      .select(TextAnalysis.uniqueWordFrac($"text").as("uw"),
+        size(TextAnalysis.wordBigrams($"text")).as("nbg"))
+      .collect()
+    assert(d(0).getDouble(0) === 0.0 && d(0).getInt(1) === 0)
+    assert(d(1).getDouble(0) === 1.0 && d(1).getInt(1) === 0)
+  }
+
   test("empty/null text is safe across all text operators") {
     val df = Seq("", null.asInstanceOf[String], "   ").toDF("text")
     val got = df.select(
