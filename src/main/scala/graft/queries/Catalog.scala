@@ -1088,6 +1088,42 @@ object Catalog {
       |  round(coalesce(CAST(top.top_c AS DOUBLE) / top.n_bigrams, 0.0), 4) AS top_bigram_frac
       |FROM w LEFT JOIN top ON w.doc_id = top.doc_id""".stripMargin
 
+  /** Context-window chunking: split each document into fixed 64-word
+    * chunks (chunk_idx, token count, chunk text) — the pre-tokenization
+    * windowing step of an LLM training pipeline. One generate+explode
+    * per row; chunk fan-out is bounded by document length.
+    */
+  val textChunks: Q = (s, dir) => {
+    val ws = TextAnalysis.words(col("text"))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0 &&
+        !(size(col("ws")) === 1 && element_at(col("ws"), 1) === ""))
+    d.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ceil(size(col("ws")) / 64.0).cast("int") - 1),
+          j => struct(
+            j.cast("int").as("chunk_idx"),
+            least(size(col("ws")) - j * 64, lit(64)).cast("int").as("n_tokens"),
+            array_join(slice(col("ws"), j * 64 + 1, lit(64)), " ").as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk").as("chunk"))
+  }
+
+  val textChunksSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split(canon, ' ') AS ws FROM c WHERE canon <> ''),
+      |j AS (SELECT doc_id, ws,
+      |        unnest(generate_series(0, CAST(ceil(len(ws) / 64.0) AS INT) - 1)) AS chunk_idx
+      |      FROM w)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(least(len(ws) - chunk_idx * 64, 64) AS INT) AS n_tokens,
+      |  array_to_string(ws[chunk_idx*64+1 : chunk_idx*64+64], ' ') AS chunk
+      |FROM j""".stripMargin
+
   val textFingerprint: Q = (s, dir) =>
     t(s, dir, "documents").select(
       col("doc_id"), TextAnalysis.docFingerprint(col("text")).as("fp"))
@@ -1350,6 +1386,7 @@ object Catalog {
     "text_tokens" -> textTokens,
     "text_redact_pii" -> textRedactPii,
     "text_repetition" -> textRepetition,
+    "text_chunks" -> textChunks,
     "text_fingerprint" -> textFingerprint,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
@@ -1404,6 +1441,7 @@ object Catalog {
     "text_tokens" -> textTokensSql,
     "text_redact_pii" -> textRedactPiiSql,
     "text_repetition" -> textRepetitionSql,
+    "text_chunks" -> textChunksSql,
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
