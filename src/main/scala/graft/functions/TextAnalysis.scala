@@ -115,25 +115,38 @@ object TextAnalysis {
 
   // ---- Repetition filters (Gopher/C4-style quality heuristics) ------
 
+  /** Word count over an already-materialized word array (split of a
+    * canonical text: empty text splits to [""], which counts as 0).
+    */
+  def wordCountOf(ws: Column): Column =
+    when(size(ws) === 0 || (size(ws) === 1 && element_at(ws, 1) === ""), lit(0))
+      .otherwise(size(ws))
+
   /** Fraction of words that are distinct — low values flag the repeated
     * boilerplate a Gopher-style filter drops. 0.0 for empty docs.
+    * Operates on a BOUND word-array column: callers must materialize
+    * `words(text)` into a named column first — a lambda re-evaluates
+    * outer expressions per element, so referencing the split inline
+    * costs one regex pass per element access (measured 16x slower on
+    * text_repetition).
     */
-  def uniqueWordFrac(text: Column): Column = {
-    val ws = words(text)
-    when(size(ws) === 0 || (size(ws) === 1 && element_at(ws, 1) === ""), lit(0.0))
+  def uniqueWordFracOf(ws: Column): Column =
+    when(wordCountOf(ws) === 0, lit(0.0))
       .otherwise(size(array_distinct(ws)).cast("double") / size(ws))
-  }
 
-  /** Word bigrams of the canonical text (for the top-bigram-fraction
-    * repetition signal — computed by explode + groupBy in the catalog
-    * query, the shape that scales past per-row array aggregation).
+  /** Word bigrams over a bound word-array column (same binding rule as
+    * uniqueWordFracOf) — for the top-bigram-fraction repetition signal,
+    * computed by explode + groupBy in the catalog query, the shape that
+    * scales past per-row array aggregation.
     */
-  def wordBigrams(text: Column): Column = {
-    val ws = words(text)
+  def wordBigramsOf(ws: Column): Column =
     when(size(ws) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-  }
+
+  def uniqueWordFrac(text: Column): Column = uniqueWordFracOf(words(text))
+
+  def wordBigrams(text: Column): Column = wordBigramsOf(words(text))
 
   /** Content fingerprint: md5 of the canonical text (exact-dedup key,
     * join-stable across engines).
