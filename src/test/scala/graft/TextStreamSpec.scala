@@ -75,6 +75,20 @@ class TextStreamSpec extends SparkSpec {
     assert(d(1).getDouble(0) === 1.0 && d(1).getInt(1) === 0)
   }
 
+  test("context-window chunking: exact boundaries at the window edge") {
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    // 64 words -> one full chunk; 65 -> full chunk + 1-word tail
+    val rows = graft.queries.Catalog.queries("text_chunks")(spark, "/root/testdata/sf0.001")
+    assert(rows.columns.toSeq === Seq("doc_id", "chunk_idx", "n_tokens", "chunk"))
+    val df = Seq((1L, mk(64)), (2L, mk(65)), (3L, "solo")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.Catalog.queries("text_chunks")(spark, tmp)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got === Seq((1L, 0, 64), (2L, 0, 64), (2L, 1, 1), (3L, 0, 1)))
+  }
+
   test("empty/null text is safe across all text operators") {
     val df = Seq("", null.asInstanceOf[String], "   ").toDF("text")
     val got = df.select(
