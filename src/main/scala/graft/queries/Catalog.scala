@@ -1323,10 +1323,10 @@ object Catalog {
     """SELECT window_start, n, total_value FROM (
       |  SELECT TIMESTAMP '2026-01-02 00:00:00' + to_hours(event_id % 24) AS window_start,
       |    count(*) AS n, round(sum(value), 2) AS total_value
-      |  FROM events GROUP BY 1)
+      |  FROM events WHERE event_id % 5 = 0 GROUP BY 1)
       |WHERE window_start + INTERVAL 1 HOUR <= (
       |  SELECT max(TIMESTAMP '2026-01-02 00:00:00' + to_hours(event_id % 24)) - INTERVAL 1 HOUR
-      |  FROM events)""".stripMargin
+      |  FROM events WHERE event_id % 5 = 0)""".stripMargin
 
   /** Stateful sessionization via session_window (10-minute gap). */
   val streamSessionize: Q = (s, dir) =>

