@@ -726,6 +726,50 @@ object Catalog {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""".stripMargin
 
+  /** The dedup END PRODUCT — which documents to keep: near-dup pairs
+    * (MinHash-banded exact shingle Jaccard within (lang, source)
+    * blocks) -> connected components -> canonical survivor = min doc_id
+    * per cluster. This composes the candidate generation, verification
+    * and transitive-closure operators into the retention decision a
+    * training-data pipeline actually ships; the oracle recomputes the
+    * clusters with a brute-force join + recursive CTE.
+    */
+  val dedupClusterKeep: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      Seq("lang", "source"), 3, 0.5)
+      .select(col("id1").as("u"), col("id2").as("v"))
+    graft.operators.Clustering
+      .clusterAll(d.select(col("doc_id")), "doc_id", pairs, "u", "v")
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+  }
+
+  val dedupClusterKeepSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN list_transform(generate_series(1, len(w) - 2),
+      |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, lang, source,
+      |          string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS w
+      |        FROM documents)),
+      |e AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+      |bidir AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+      |walk(node, comp) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT b.u AS node, w.comp FROM walk w JOIN bidir b ON w.node = b.v
+      |  WHERE w.comp < b.u)
+      |SELECT node AS doc_id, min(comp) AS cluster_id,
+      |  (min(comp) = node) AS keep
+      |FROM walk GROUP BY node""".stripMargin
+
   /** Documents plus planted near-duplicates (first 90% of words, id +
     * PlantOffset) — the corpus for MinHash/SimHash detection queries.
     * The offset (10^9) sits far above any doc_id the generator emits at
@@ -1378,6 +1422,7 @@ object Catalog {
     "er_clusters" -> erClusters,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_cluster_keep" -> dedupClusterKeep,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -1433,6 +1478,7 @@ object Catalog {
     "er_clusters" -> erClustersSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_cluster_keep" -> dedupClusterKeepSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
