@@ -62,7 +62,7 @@ object Bench {
     val results = graft.queries.Catalog.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        try { noop(fn(spark, sfDir)); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       R(name, (System.nanoTime() - t0) / 1e9, err)
     }

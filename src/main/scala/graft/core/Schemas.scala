@@ -1,5 +1,19 @@
 package graft.core
 
+/** Small filesystem helpers shared by operators/tests. */
+object Fs {
+  /** Recursive delete with the walk stream closed (Files.walk leaks a
+    * directory handle if the stream is abandoned).
+    */
+  def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(dir)) return
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+}
+
 import java.sql.Timestamp
 
 /** Declarative field spec, mirroring the reference's `Field` dataclass

@@ -199,8 +199,15 @@ object Ann {
       queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, embCol: String, k: Int): DataFrame = {
     val exact = bruteForceTopK(queries, corpus, qId, cId, embCol, k)
+    // bind the quantize struct to a named column BEFORE dequantize's
+    // transform touches it: a lambda re-evaluates outer expressions per
+    // element, so inlining quantize() would recompute the array_max scale
+    // once per component — O(d^2)/row (the same trap documented on
+    // TextAnalysis.uniqueWordFracOf)
     def deq(df: DataFrame) =
-      df.withColumn(embCol, dequantize(quantize(col(embCol))))
+      df.withColumn("_qs", quantize(col(embCol)))
+        .withColumn(embCol, dequantize(col("_qs")))
+        .drop("_qs")
     val approx = bruteForceTopK(deq(queries), deq(corpus), qId, cId, embCol, k)
     exact.join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
       Seq("query_id", "neighbor_id"), "left")

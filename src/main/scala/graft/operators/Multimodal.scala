@@ -478,9 +478,11 @@ object Multimodal {
     * "video" (mp4/mov-style containers, for which the JDK ships no
     * codec): a real implementation would parse the container and sample
     * frames here. Shape contract (dims + fixed-size feature vector) is
-    * the real one; every image kind (bmp/png/jpeg/gif), audio, and
-    * multi-frame animated-GIF sampling (decodeGifStats) decode for real
-    * above.
+    * the real one; every image kind (bmp/png/jpeg/gif) and multi-frame
+    * animated-GIF sampling (decodeGifStats) decode for real above, and
+    * audio decodes for real through decodeWavStats (extractFeatures is
+    * the IMAGE feature surface — it refuses audio kinds with a pointer
+    * there rather than faking features).
     */
   def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
     var h = 1125899906842597L
@@ -539,6 +541,9 @@ object Multimodal {
               val (mr, mg, mb) = channelStats(img)
               meanFeature(img.getWidth, img.getHeight, mr, mg, mb)
             case "video" => decodeStub(payload, dim)
+            case "wav" | "audio" =>
+              throw new IllegalArgumentException(
+                "audio payloads decode via decodeWavStats, not the image feature extractor")
             case other =>
               throw new IllegalArgumentException(s"no decoder for kind '$other'")
           }

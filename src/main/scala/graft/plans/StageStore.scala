@@ -32,7 +32,13 @@ object StageStore {
       rows: Long,
       partitions: Seq[PartitionStat],
       wallClockSec: Double,
-      writtenAtMs: Long)
+      writtenAtMs: Long,
+      /** true when partition stats are keyed by part-FILE index (the
+        * current format); manifests written before that change keyed by
+        * read-partition id and verify through the keying-independent
+        * global aggregate instead — no spurious corruption refusal.
+        */
+      fileKeyedStats: Boolean = true)
 
   private def esc(s: String): String =
     s.flatMap {
@@ -53,6 +59,7 @@ object StageStore {
       .mkString("[", ",", "]")
     s"""{"stage":"${esc(m.stage)}","pipeline_version":"${esc(m.pipelineVersion)}",""" +
       s""""inputs_fingerprint":"${esc(m.inputsFingerprint)}","params":$params,""" +
+      (if (m.fileKeyedStats) """"stat_keying":"file",""" else "") +
       s""""rows":${m.rows},"partitions":$parts,"wall_clock_sec":${m.wallClockSec},""" +
       s""""written_at_ms":${m.writtenAtMs}}"""
   }
@@ -101,13 +108,15 @@ object StageStore {
       v <- field("pipeline_version")
       f <- field("inputs_fingerprint")
     } yield Manifest(st, v, f, Map.empty, totalRows.getOrElse(0L), partStats, 0.0,
-      "\"written_at_ms\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L))
+      "\"written_at_ms\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L),
+      fileKeyedStats = s.contains("\"stat_keying\":\"file\""))
   }
 
   private val PartIdx = "part-(\\d+)".r
 
   /** Per-file (row count, xor of row hashes) aggregate over a stage's
-    * parquet, keyed by the part index in the file name — one pass, same
+    * parquet, keyed by the part index in the FILE NAME segment (the
+    * directory path may itself contain "part-<digits>") — one pass, same
     * cost as the global aggregate, but localizable. Grouping by
     * input_file_name (not spark_partition_id) keeps the key stable even
     * when a large part file splits into several read partitions.
@@ -119,7 +128,8 @@ object StageStore {
       .collect()
       .map { r =>
         val file = r.getString(0)
-        val idx = PartIdx.findFirstMatchIn(file).map(_.group(1).toInt).getOrElse(-1)
+        val name = file.substring(file.lastIndexOf('/') + 1)
+        val idx = PartIdx.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(-1)
         (idx, file, r.getLong(1), r.getLong(2))
       }
 
@@ -134,6 +144,23 @@ object StageStore {
     */
   private def verifyLineage(df: DataFrame, m: Manifest, root: String, stage: String): Unit = {
     if (m.partitions.isEmpty) return // legacy manifest without stats
+    if (!m.fileKeyedStats) {
+      // pre-file-keying manifest (stats keyed by read-partition id): the
+      // per-stat keys don't align with part files, but the XOR of all
+      // checksums and the total row count are keying-independent — verify
+      // globally instead of refusing intact data as corrupted
+      val expectXor = m.partitions.map(_.checksum).foldLeft(0L)(_ ^ _)
+      val r = df
+        .agg(count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("x"))
+        .head()
+      if (r.getLong(0) != m.rows || r.getLong(1) != expectXor)
+        throw new IllegalStateException(
+          s"stage '$stage' parquet at $root/$stage does not match its manifest lineage " +
+            s"(rows ${r.getLong(0)} vs ${m.rows}, checksum ${r.getLong(1)} vs $expectXor) " +
+            "— the stage data is corrupted or truncated; clear the stage directory to rebuild")
+      return
+    }
     val perFile = fileStats(df)
     val expect = m.partitions.map(p => p.partition -> p).toMap
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -87,11 +87,7 @@ object Catalog {
       s.sql(s"DROP TABLE IF EXISTS $name")
       val wh = s.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:").stripPrefix("//")
-      val p = java.nio.file.Paths.get(wh, name.toLowerCase)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(wh, name.toLowerCase))
     }
     fresh(bo); fresh(bc)
     t(s, dir, "orders").select("o_custkey", "o_totalprice")

@@ -31,13 +31,8 @@ object StreamingOps {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       tempDirs.forEach { d =>
-        try {
-          val p = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p)
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case _: Throwable => () } // sweep is best-effort at exit
+        try graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(d))
+        catch { case _: Throwable => () } // sweep is best-effort at exit
       }
     }, "graft-stream-tmp-sweep"))
   }
@@ -262,9 +257,7 @@ object StreamingOps {
         .filter(p => p.getFileName.toString.startsWith("part-"))
         .findFirst().get()
       Files.move(part, Paths.get(inDir, name))
-      Files.walk(Paths.get(tmp))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
+      graft.core.Fs.deleteRecursively(Paths.get(tmp))
       Files.setLastModifiedTime(Paths.get(inDir, name),
         java.nio.file.attribute.FileTime.fromMillis(mtime))
     }

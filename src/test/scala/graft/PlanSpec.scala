@@ -121,14 +121,16 @@ class PlanSpec extends SparkSpec {
       val scan = q.queryExecution.executedPlan.toString
       assert(scan.contains("PartitionFilters") && scan.contains("day"),
         "day predicate must become a partition filter:\n" + scan.take(800))
-      // the pruned scan must actually read fewer files than exist
-      val allFiles = q.queryExecution.executedPlan.collectLeaves().collect {
+      // the pruned scan must actually read fewer files than exist — the
+      // metrics MUST come from the QueryExecution that ran (q.count()
+      // builds a different one whose scan metrics we'd never see)
+      q.collect()
+      val read = q.queryExecution.executedPlan.collectLeaves().collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.metrics.get("numFiles")
-      }
-      q.count() // populate metrics
-      val read = allFiles.flatten.map(_.value).sum
+      }.flatten.map(_.value).sum
       val total = new java.io.File(tmp).listFiles().count(_.getName.startsWith("day="))
+      assert(read > 0, "scan metrics not populated — assertion would be vacuous")
       assert(read < total, s"scan read $read file(s) of $total partitions — no pruning")
     } finally {
       val p = java.nio.file.Paths.get(tmp)
