@@ -29,6 +29,13 @@ object Multimodal {
 
   final case class MediaMeta(kind: String, nBytes: Long, sha: Long)
 
+  /** Shared dimension cap for every decoder (decodeBmp enforces the same
+    * value): untrusted payloads declaring huge dimensions (decompression
+    * bombs — a tiny PNG/GIF can claim 2^30 x 2^30) must fail header
+    * validation instead of OOMing an executor on allocation.
+    */
+  private[operators] val MaxDim = 32767
+
   // ==== REAL DECODER: uncompressed 24-bit BMP ==========================
 
   final case class BmpImage(width: Int, height: Int, pixels: Array[Byte]) {
@@ -96,7 +103,7 @@ object Multimodal {
     // size arithmetic in Long with a dimension cap: adversarial headers
     // (e.g. width ~ 2^30) must fail the requires below, not overflow Int
     // into a passing check and then die on allocation
-    require(width <= 32767 && height <= 32767, s"dims over cap: ${width}x$height")
+    require(width <= MaxDim && height <= MaxDim, s"dims over cap: ${width}x$height")
     val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
     require(payload.length.toLong >= dataOffset.toLong + rowSizeL * height,
       s"truncated pixel data: ${payload.length} < ${dataOffset.toLong + rowSizeL * height}")
@@ -255,12 +262,26 @@ object Multimodal {
     * (pure-JVM PNG/JPEG/GIF/BMP readers — present in any JDK 17, no native
     * library). Fails loudly on undecodable bytes instead of faking
     * features. ImageIO sniffs the container by content, so the caller's
-    * `kind` tag never silently mis-decodes a payload.
+    * `kind` tag never silently mis-decodes a payload. Dimensions are
+    * probed HEADER-ONLY (ImageReader.getWidth/getHeight) and checked
+    * against MaxDim before any pixel decode — the raster allocation of a
+    * decompression bomb never happens.
     */
   def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    require(img != null, s"undecodable image payload (${payload.length} bytes)")
-    img
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"undecodable image payload (${payload.length} bytes)")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, true)
+      val w = reader.getWidth(0); val h = reader.getHeight(0)
+      require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
+        s"image dims over cap: ${w}x$h (max $MaxDim)")
+      val img = reader.read(0, null)
+      require(img != null, s"undecodable image payload (${payload.length} bytes)")
+      img
+    } finally { reader.dispose(); iis.close() }
   }
 
   /** Encode an RGB image as PNG; `px(x, y)` returns (r, g, b). PNG is
@@ -386,7 +407,12 @@ object Multimodal {
 
   /** Decode every frame of an animated GIF through the JDK's ImageIO
     * reader (LZW decode, palette lookup, per-frame rasters). Fails loudly
-    * on non-GIF payloads.
+    * on non-GIF payloads. Per-frame dimensions are probed header-only
+    * against MaxDim before any raster decode (decompression-bomb guard),
+    * and every frame must match frame 0's dimensions: real GIFs using
+    * frame-delta sub-rectangle rasters would otherwise silently yield
+    * stats over partial frames of differing sizes — refuse loudly until
+    * delta-frame compositing is implemented.
     */
   def decodeGifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
     require(payload.length >= 6 &&
@@ -400,7 +426,16 @@ object Multimodal {
       reader.setInput(iis, false)
       val n = reader.getNumImages(true)
       require(n > 0, "GIF has no frames")
-      (0 until n).map(reader.read(_, null))
+      val w0 = reader.getWidth(0); val h0 = reader.getHeight(0)
+      require(w0 > 0 && h0 > 0 && w0 <= MaxDim && h0 <= MaxDim,
+        s"GIF dims over cap: ${w0}x$h0 (max $MaxDim)")
+      (0 until n).map { i =>
+        val w = reader.getWidth(i); val h = reader.getHeight(i)
+        require(w == w0 && h == h0,
+          s"GIF frame $i raster is ${w}x$h but frame 0 is ${w0}x$h0 — " +
+            "delta-frame (sub-rectangle) GIFs are not supported; full-canvas frames only")
+        reader.read(i, null)
+      }
     } finally { reader.dispose(); iis.close() }
   }
 

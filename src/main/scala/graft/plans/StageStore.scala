@@ -220,7 +220,22 @@ object StageStore {
         // keyed by part-file index (see fileStats) so the read-side verify
         // can localize a mismatch to a named file; empty partitions write
         // rowless part files and are correctly absent on both sides
-        val stats = fileStats(written)
+        val rawStats = fileStats(written)
+        // write-time guard: an unparsable or duplicate part index would
+        // collapse keys in the read-side expect map and make every later
+        // resume of INTACT data refuse as "corrupted" — fail loudly now,
+        // at write time, naming the files, instead
+        rawStats.filter(_._1 < 0).foreach { case (_, file, _, _) =>
+          throw new IllegalStateException(
+            s"stage '$stage' wrote part file '$file' whose name has no parsable " +
+              "part-<index> segment; manifest lineage would be ambiguous")
+        }
+        rawStats.groupBy(_._1).filter(_._2.length > 1).foreach { case (idx, fs) =>
+          throw new IllegalStateException(
+            s"stage '$stage' wrote multiple part files with index $idx: " +
+              fs.map(_._2).mkString(", ") + "; manifest lineage would be ambiguous")
+        }
+        val stats = rawStats
           .map { case (idx, _, n, x) => PartitionStat(idx, n, x) }
           .toSeq.sortBy(_.partition)
         val manifest = Manifest(

@@ -82,8 +82,15 @@ class PlanSpec extends SparkSpec {
       // disable broadcast so the assertion exercises the bucket-aware SMJ
       // path a fact-fact join at 100 TB would take
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.sql("DROP TABLE IF EXISTS ps_orders")
-      spark.sql("DROP TABLE IF EXISTS ps_customer")
+      // drop the catalog entries AND clear orphaned warehouse locations a
+      // killed prior JVM may have left behind — they block saveAsTable
+      def fresh(name: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:").stripPrefix("//")
+        graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(wh, name))
+      }
+      fresh("ps_orders"); fresh("ps_customer")
       spark.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_totalprice")
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("ps_orders")
       spark.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_mktsegment")
@@ -132,12 +139,7 @@ class PlanSpec extends SparkSpec {
       val total = new java.io.File(tmp).listFiles().count(_.getName.startsWith("day="))
       assert(read > 0, "scan metrics not populated — assertion would be vacuous")
       assert(read < total, s"scan read $read file(s) of $total partitions — no pruning")
-    } finally {
-      val p = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    } finally graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 
   test("AQE splits skewed join partitions at runtime (skew lever)") {
