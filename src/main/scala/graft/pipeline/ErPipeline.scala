@@ -42,6 +42,14 @@ object ErPipeline {
       // (email/phone) stay far below it.
       maxBlock: Int = 48,
       hotWindow: Int = 6,
+      // Hot blocks above hotRankCap rows stop using the single window
+      // (row_number over one key = every row of the key in ONE task — a
+      // straggler/spill at 10^8-row blocks) and switch to the distributed
+      // rank path (range-partition + per-partition rank + offset join),
+      // which emits the IDENTICAL sorted-neighborhood pairs with no task
+      // ever owning a whole key. The default keeps small/medium blocks on
+      // the cheaper single-window plan.
+      hotRankCap: Int = 65536,
       // 16-bit buckets keep mean occupancy ~n/65k per table; at larger n
       // raise bits ~ log2(n/4) so in-bucket pairing stays linear in n
       lshBits: Int = 16,
@@ -158,17 +166,42 @@ object ErPipeline {
     * next cfg.hotWindow members in url order) so no key is ever quadratic
     * — the salting/capping strategy of SURVEY.md par.4.
     */
-  def candidates(signatures: DataFrame, cfg: Config = Config()): DataFrame = {
-    val keyed = signatures
-      .select(explode(col("block_keys")).as("bk"), col("url"))
-    // block size via window count, not a groupBy+self-join: one bk-keyed
-    // shuffle total, and the signature expressions (which block_keys
-    // depends on, embedding included) are evaluated once, not once per
-    // join branch. The cold groupBy and the hot window below both reuse
-    // the window's hash(bk) partitioning — no further exchange until the
-    // pair dedup.
-    val withSize = keyed
-      .withColumn("bk_n", count(lit(1)).over(Window.partitionBy("bk")))
+  def candidates(signatures: DataFrame, cfg: Config = Config()): DataFrame =
+    candidatesScoped(signatures, None, cfg)
+
+  /** Exploded (block key, url) rows entering candidate generation,
+    * optionally restricted to a set of touched block keys (the incremental
+    * path). The semi join filters by KEY, not by record: every member of a
+    * touched block stays, so in-block sizing/ranking see the full block
+    * and emit exactly what a full run would emit for those blocks.
+    */
+  private[graft] def keyedBlocks(
+      signatures: DataFrame, touchedBlocks: Option[DataFrame]): DataFrame = {
+    val all = signatures.select(explode(col("block_keys")).as("bk"), col("url"))
+    touchedBlocks match {
+      // bk-keyed shuffled semi join (the touched set is O(stale x keys) —
+      // too big to assume broadcast at production scale; AQE broadcasts
+      // it at runtime when it is small)
+      case Some(t) => all.join(t.select(col("bk")), Seq("bk"), "left_semi")
+      case None => all
+    }
+  }
+
+  private[graft] def candidatesScoped(
+      signatures: DataFrame, touchedBlocks: Option[DataFrame],
+      cfg: Config): DataFrame = {
+    val keyed = keyedBlocks(signatures, touchedBlocks)
+    // two-phase block sizing: partial aggregation (map-side combine — the
+    // count of a hot key is reduced IN PARALLEL across input partitions)
+    // joined back on bk. The alternative — count over
+    // Window.partitionBy(bk) — funnels every row of a key into one task
+    // to count it, which at 10^8-row blocks is a straggler even though
+    // the count itself is trivial; the join here is a plain bk equi join
+    // AQE can skew-split. Cost: `keyed` is evaluated by both branches, so
+    // callers should hand in MATERIALIZED signatures (StageStore does in
+    // checkpointed runs; run() caches them in ephemeral mode).
+    val sizes = keyed.groupBy("bk").agg(count(lit(1)).as("bk_n"))
+    val withSize = keyed.join(sizes, Seq("bk"))
 
     // cold blocks (<= maxBlock members): gather the block into one bounded
     // array and emit all C(n,2) pairs locally — no self-join, no second
@@ -187,19 +220,63 @@ object ErPipeline {
 
     // hot blocks: sorted-neighborhood — each member pairs with the next
     // hotWindow members in url order; cost is linear in block size.
-    val hot = withSize.filter(col("bk_n") > cfg.maxBlock)
+    // Small/medium hot blocks rank via one window; blocks above
+    // hotRankCap rank via the distributed path (no whole-key task).
+    val hotAll = withSize.filter(col("bk_n") > cfg.maxBlock)
+    val hot = hotAll.filter(col("bk_n") <= cfg.hotRankCap)
       .withColumn("rn", row_number().over(Window.partitionBy("bk").orderBy("url")))
     val hotPairs = hot.as("a")
       .join(hot.as("b"), col("a.bk") === col("b.bk")
         && col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + cfg.hotWindow)
       .select(col("a.bk").as("block_key"), col("a.url").as("url1"), col("b.url").as("url2"))
 
-    val deduped = coldPairs.unionByName(hotPairs)
+    // giant blocks: identical pairs, distributed rank. The neighborhood
+    // probe is an equi join on (bk, rank) — the hot key spreads across
+    // rank values, so neither the ranking nor the pairing ever puts a
+    // whole key into one task (vs the self-join on bk above, which
+    // hash-partitions the whole key to one join partition).
+    val ranked = rankWithinBlocks(hotAll.filter(col("bk_n") > cfg.hotRankCap)
+      .select(col("bk"), col("url")))
+    val giantProbe = ranked.select(col("bk"), col("url").as("url1"),
+      explode(sequence(col("rn") + 1, col("rn") + cfg.hotWindow)).as("rn2"))
+    val giantPairs = giantProbe
+      .join(ranked.select(col("bk"), col("url").as("url2"), col("rn").as("rn2")),
+        Seq("bk", "rn2"))
+      .select(col("bk").as("block_key"), col("url1"), col("url2"))
+
+    val deduped = coldPairs.unionByName(hotPairs).unionByName(giantPairs)
       .groupBy("url1", "url2")
       // A8 dedup, deterministic min; the shared-key count ranks pair
       // strength for the per-record cap below
       .agg(min("block_key").as("block_key"), count(lit(1)).as("_n_keys"))
     capPerRecord(deduped, cfg.maxCandidatesPerRecord, bothSides = true)
+  }
+
+  /** Global 1-based rank of `url` within each `bk`, computed WITHOUT a
+    * whole-key window task: range-partition by (bk, url) so a giant key
+    * spans many contiguous partitions, rank locally within (partition,
+    * bk), then add per-(partition, key) offsets from a tiny count table
+    * (<= one row per key per partition it spans; its prefix-sum window is
+    * bounded by the partition count, never by the key's row count). Rank
+    * values are boundary-independent — ties are impossible (url is the
+    * record id, unique per key) — so the output is deterministic even
+    * though range boundaries come from sampling. Returns (input columns,
+    * rn, _pid); _pid is kept so callers/tests can observe the spread.
+    */
+  private[graft] def rankWithinBlocks(rows: DataFrame): DataFrame = {
+    val parted = rows.repartitionByRange(col("bk"), col("url"))
+      .withColumn("_pid", spark_partition_id())
+    val lw = Window.partitionBy("_pid", "bk").orderBy("url")
+    val local = parted.withColumn("_lrn", row_number().over(lw))
+    val counts = local.groupBy("_pid", "bk").agg(count(lit(1)).as("_c"))
+    val ow = Window.partitionBy("bk").orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum("_c").over(ow), lit(0L)))
+      .select(col("_pid"), col("bk"), col("_off"))
+    local.join(offsets, Seq("_pid", "bk"))
+      .withColumn("rn", col("_lrn") + col("_off"))
+      .drop("_lrn", "_off")
   }
 
   /** n_closest-style cap (I4/O4): keep each record's strongest pairs —
@@ -231,7 +308,45 @@ object ErPipeline {
       cfg: Config = Config()): DataFrame = {
     val src = sourceSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url1"))
     val sea = searchSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url2"))
-    val deduped = src.join(sea, Seq("bk"))
+    // Hot-block bound, mirroring the unpooled path: one hot soundex key
+    // must never go |src-block| x |search-block|. Search-block sizes come
+    // from a partial agg (map-side combine) joined back; blocks whose
+    // SEARCH side exceeds maxBlock switch from the full bipartite join to
+    // a neighborhood probe — each source record pairs with the 2*hotWindow
+    // search members nearest its own url position, so hot pair volume is
+    // O(|src-block| x window) (the reference caps pooled ANN lookups with
+    // n_closest BEFORE materializing candidates, run_search.py:148-150).
+    val seaN = sea.groupBy("bk").agg(count(lit(1)).as("sea_n"))
+    val srcS = src.join(seaN, Seq("bk"))
+    val seaS = sea.join(seaN, Seq("bk"))
+
+    val coldPairs = srcS.filter(col("sea_n") <= cfg.maxBlock)
+      .join(seaS.filter(col("sea_n") <= cfg.maxBlock).drop("sea_n"), Seq("bk"))
+
+    // merged url-ordered stream per hot block (search rows sort before a
+    // source row with the same url): one running sum gives BOTH the
+    // search row's 1-based rank among search rows and the source row's
+    // insertion position, so the probe is a plain (bk, rank) equi join —
+    // no bipartite join on the hot key ever happens.
+    val mw = Window.partitionBy("bk").orderBy(col("u"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = seaS.filter(col("sea_n") > cfg.maxBlock)
+      .select(col("bk"), col("url2").as("u"), lit(0).as("side"))
+      .unionByName(srcS.filter(col("sea_n") > cfg.maxBlock)
+        .select(col("bk"), col("url1").as("u"), lit(1).as("side")))
+      .withColumn("pos", sum(lit(1) - col("side")).over(mw))
+    val seaIdx = ranked.filter(col("side") === 0)
+      .select(col("bk"), col("u").as("url2"), col("pos").as("rn"))
+    val srcProbe = ranked.filter(col("side") === 1)
+      .select(col("bk"), col("u").as("url1"),
+        explode(sequence(
+          greatest(lit(1L), col("pos") - cfg.hotWindow + 1),
+          col("pos") + cfg.hotWindow)).as("rn"))
+    val hotPairs = srcProbe.join(seaIdx, Seq("bk", "rn"))
+      .select(col("bk"), col("url1"), col("url2"))
+
+    val deduped = coldPairs.select(col("bk"), col("url1"), col("url2"))
+      .unionByName(hotPairs)
       .filter(col("url1") =!= col("url2"))
       .groupBy("url1", "url2")
       .agg(min("bk").as("block_key"), count(lit(1)).as("_n_keys"))
@@ -425,7 +540,8 @@ object ErPipeline {
   /** Incremental run (I1 + I2 end-to-end): given the previous run's
     * signatures + scored pairs and a new snapshot of the input, only
     * new/updated urls are re-extracted/normalized/signed. Candidate pairs
-    * are recomputed over the merged signatures (cheap — no scoring), then
+    * are regenerated only inside blocks a stale record touched (O(stale),
+    * see the touched-blocks derivation in the body), then
     * a pair is REUSED verbatim when it was scored before and neither
     * endpoint is stale (scores are pure functions of the two records);
     * every other current candidate is scored. This covers pairs between
@@ -460,7 +576,27 @@ object ErPipeline {
       .cache()
 
     val staleUrls = stale.select(col("url"))
-    val allCands = candidates(mergedSigs, cfg)
+    // O(stale) candidate generation, not O(corpus): only blocks TOUCHED by
+    // a stale record can produce pairs that need (re)scoring — a block no
+    // stale record entered or left has identical membership, hence
+    // identical sizing, ranking and emitted pairs as the prior run, and
+    // all of those pairs are already in the reused set below. Touched =
+    // keys of the stale records' NEW signatures (blocks gaining a member)
+    // UNION keys of their PRIOR signatures (blocks losing one — departure
+    // shifts the survivors' neighborhood ranks too). At a 0.1% daily
+    // delta this scans ~0.1% of the exploded key table instead of all of
+    // it (the reference's core value proposition, README.md:104,122).
+    // The per-record cap ranks pairs GLOBALLY by shared-key counts, so a
+    // capped config falls back to the full recompute for exact parity.
+    val allCands =
+      if (cfg.maxCandidatesPerRecord == 0) {
+        val touched = prior
+          .join(staleUrls, Seq("url"), "left_semi")
+          .select(explode(col("block_keys")).as("bk"))
+          .unionByName(staleSigs.select(explode(col("block_keys")).as("bk")))
+          .distinct()
+        candidatesScoped(mergedSigs, Some(touched), cfg)
+      } else candidates(mergedSigs, cfg)
     // reusable: previously scored AND both endpoints untouched
     val reused = priorScored
       .join(staleUrls.withColumnRenamed("url", "url1"), Seq("url1"), "left_anti")
@@ -518,11 +654,17 @@ object ErPipeline {
     // every cfg field signatures() reads is fingerprinted (useLsh gates
     // whether block_keys carry LSH keys at all — omitting it would serve
     // stale cached signatures after a toggle)
-    val sigs = stage("signatures", Map("embedDim" -> cfg.embedDim.toString,
+    val sigsStage = stage("signatures", Map("embedDim" -> cfg.embedDim.toString,
       "lshBits" -> cfg.lshBits.toString, "lshTables" -> cfg.lshTables.toString,
       "useLsh" -> cfg.useLsh.toString)) {
       signatures(norm, cfg)
     }
+    // candidates (sizing agg + keyed join) and scorePairs (two feature
+    // joins) each consume signatures from several plan branches; with a
+    // stage store the branches re-scan cheap parquet, but in ephemeral
+    // mode they would re-evaluate the embedding expressions per branch —
+    // cache instead (LRU-evicted, so repeated ephemeral runs stay safe)
+    val sigs = if (cfg.outRoot.isEmpty) sigsStage.cache() else sigsStage
     val cands = stage("candidates", Map("maxBlock" -> cfg.maxBlock.toString,
       "hotWindow" -> cfg.hotWindow.toString,
       "maxCandidatesPerRecord" -> cfg.maxCandidatesPerRecord.toString))(candidates(sigs, cfg))

@@ -56,6 +56,42 @@ class IncrementalSpec extends SparkSpec {
     assert(incClusters === fullClusters)
   }
 
+  test("incremental candidate generation keys O(stale-touched blocks), not O(corpus)") {
+    val cfg = ErPipeline.Config()
+    val pages0 = WebPageGen.pages(spark, 200L).toDF.cache()
+    val full0 = ErPipeline.run(spark, pages0, cfg)
+    val sigs0 = full0.signatures.cache()
+    sigs0.count()
+
+    // a small delta: 3 entities' base pages bumped
+    val bumped = pages0
+      .filter(col("url").endsWith("/base"))
+      .orderBy("url").limit(3)
+      .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1 DAY"))
+    val pages1 = pages0
+      .join(bumped.select("url"), Seq("url"), "left_anti")
+      .unionByName(bumped)
+      .cache()
+
+    val stale = ErPipeline.staleRows(pages1, sigs0.select("url", "warc_ts"), "url", "warc_ts")
+    val staleSigs = ErPipeline.signatures(
+      ErPipeline.normalize(ErPipeline.extract(stale)), cfg)
+    val touched = sigs0
+      .join(stale.select("url"), Seq("url"), "left_semi")
+      .select(explode(col("block_keys")).as("bk"))
+      .unionByName(staleSigs.select(explode(col("block_keys")).as("bk")))
+      .distinct()
+
+    val fullKeyed = ErPipeline.keyedBlocks(sigs0, None).count()
+    val scopedKeyed = ErPipeline.keyedBlocks(sigs0, Some(touched)).count()
+    info(s"keyed rows: full=$fullKeyed scoped=$scopedKeyed touchedBlocks=${touched.count()}")
+    // the candidate stage's keyed input must shrink with the stale block
+    // population — 3 stale entities out of 200 must not re-key the corpus
+    assert(scopedKeyed < fullKeyed / 4,
+      s"scoped keyed rows $scopedKeyed not proportional to stale blocks (full $fullKeyed)")
+    assert(scopedKeyed > 0L)
+  }
+
   test("batchLimit caps an incremental run at the oldest stale rows") {
     val cfg = ErPipeline.Config()
     val pages0 = WebPageGen.pages(spark, 40L).toDF.cache()

@@ -112,6 +112,85 @@ class PipelineSpec extends SparkSpec {
     assert(same.getAs[Double]("score") > diff.getAs[Double]("score"))
   }
 
+  test("pooled mode bounds hot blocks: pair volume O(n x window), cold blocks unchanged") {
+    import spark.implicits._
+    val cfg = ErPipeline.Config() // maxBlock 48, hotWindow 6
+    // one synthetic hot key shared by a 40-record source pool and a
+    // 600-record search pool, plus a cold key with bounded membership
+    val srcSigs = (0 until 40)
+      .map(i => (f"src://$i%04d", Seq("hot") ++ (if (i < 5) Seq("cold") else Nil)))
+      .toDF("url", "block_keys")
+    val seaSigs = (0 until 600)
+      .map(i => (f"sea://$i%04d", Seq("hot") ++ (if (i < 10) Seq("cold") else Nil)))
+      .toDF("url", "block_keys")
+    val pairs = ErPipeline.candidatesPooled(srcSigs, seaSigs, cfg).cache()
+    val n = pairs.count()
+    // hot key contributes <= 40 * 2*hotWindow; cold key <= 5 * 10;
+    // WITHOUT the bound the hot key alone would emit 40 * 600 = 24000
+    assert(n <= 40L * 2 * cfg.hotWindow + 5L * 10,
+      s"hot block not bounded: $n pairs")
+    assert(n > 0)
+    // every source record in the hot block still gets neighbors
+    assert(pairs.select("url1").distinct().count() === 40L)
+    // cold blocks keep exact full-bipartite semantics: restricting to the
+    // cold key reproduces the plain join (the pre-bound construction)
+    val coldOnly = ErPipeline.candidatesPooled(
+      srcSigs.filter(size(col("block_keys")) === 2)
+        .withColumn("block_keys", array(lit("cold"))),
+      seaSigs.filter(size(col("block_keys")) === 2)
+        .withColumn("block_keys", array(lit("cold"))), cfg)
+    assert(coldOnly.count() === 5L * 10)
+  }
+
+  test("giant-block rank is distributed (>1 task per key) and matches the window rank") {
+    import spark.implicits._
+    // one planted 100k-member block: above the default hotRankCap. AQE
+    // sizes range partitions by BYTES (a 100k-row test block is a few MB
+    // and would legitimately coalesce to one partition; a real 10^8-row
+    // block would not) — shrink the advisory size so the test observes
+    // the multi-task split the real scale would produce.
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      keys.foreach(k => spark.conf.set(k, "64k"))
+      val n = 100000
+      val rows = spark.range(n)
+        .select(lit("hot:block").as("bk"),
+          concat(lit("u://"), lpad(col("id").cast("string"), 7, "0")).as("url"))
+      val ranked = ErPipeline.rankWithinBlocks(rows).cache()
+      // the ranking work for the single key ran in MULTIPLE range partitions
+      val pids = ranked.select("_pid").distinct().count()
+      assert(pids > 1, s"whole key ranked in one task (pids=$pids)")
+      // ranks are exactly the url sort order, 1..n, no gaps or dups
+      val mismatch = ranked
+        .withColumn("expect", expr("cast(substring(url, 5) as long) + 1"))
+        .filter(col("rn") =!= col("expect")).count()
+      assert(mismatch === 0L, "distributed rank diverges from url order")
+      assert(ranked.select("rn").distinct().count() === n.toLong)
+      ranked.unpersist()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("giant-block pairing emits identical pairs to the single-window hot path") {
+    // same sigs, hotRankCap forced low vs high: the distributed path must
+    // reproduce the window path's sorted-neighborhood pairs exactly
+    val sigs = ErPipeline.signatures(
+      ErPipeline.normalize(ErPipeline.extract(pages)), cfg).cache()
+    val small = ErPipeline.Config(maxBlock = 2, hotWindow = 3, hotRankCap = 4)
+    val big = small.copy(hotRankCap = Int.MaxValue)
+    val viaGiant = ErPipeline.candidates(sigs, small)
+      .select("url1", "url2", "block_key").collect().map(_.toSeq).toSet
+    val viaWindow = ErPipeline.candidates(sigs, big)
+      .select("url1", "url2", "block_key").collect().map(_.toSeq).toSet
+    assert(viaGiant === viaWindow,
+      s"missing=${(viaWindow -- viaGiant).take(3)} extra=${(viaGiant -- viaWindow).take(3)}")
+    assert(viaGiant.nonEmpty)
+  }
+
   test("incremental staleRows picks exactly new/updated urls (I1)") {
     import spark.implicits._
     val prior = pages.select(col("url"), col("warc_ts")).limit(900)
