@@ -535,7 +535,52 @@ object ErPipeline {
       .drop("_prev_ts")
 
   final case class IncrementalStats(
-      staleRowCount: Long, rescoredPairs: Long, reusedPairs: Long)
+      staleRowCount: Long, rescoredPairs: Long, reusedPairs: Long,
+      /** match edges re-clustered / total current match edges; -1 when the
+        * caller did not supply prior clusters (global recompute).
+        */
+      clusterEdgesReclustered: Long = -1L, clusterEdgesTotal: Long = -1L)
+
+  /** Incremental transitive clustering: a component's assignment is
+    * invariant unless one of its nodes gained, lost, or re-scored an edge
+    * — reused match edges are intra-cluster by construction (they WERE
+    * edges of the prior CC), and every re-scored/dropped edge has both
+    * endpoints in `affectedNodes`, so no current edge can connect an
+    * affected cluster to an unaffected one. Prior assignments of clusters
+    * holding no affected node are reused verbatim (their min-id roots are
+    * untouched); only members of affected clusters plus brand-new nodes
+    * re-converge, over only the edges that touch them. Returns
+    * (clusters, edges re-clustered, total current edges).
+    */
+  private[graft] def incrementalClusters(
+      mergedSigs: DataFrame,
+      mergedScored: DataFrame,
+      priorClusters: DataFrame,
+      affectedNodes: DataFrame): (DataFrame, Long, Long) = {
+    val affected = affectedNodes.select(col("url")).distinct()
+    val affectedClusters = priorClusters
+      .join(affected, Seq("url"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    // re-select after the join: a usingColumns join moves its key to the
+    // front, and positional consumers expect (url, cluster_id)
+    val reusedAssign = priorClusters
+      .join(affectedClusters, Seq("cluster_id"), "left_anti")
+      .select(col("url"), col("cluster_id"))
+    val reVertices = mergedSigs.select(col("url"))
+      .join(reusedAssign.select(col("url")), Seq("url"), "left_anti")
+      .cache()
+    val edges = mergedScored.filter(col("matches")).select("url1", "url2")
+    // both-endpoint semi joins + distinct for robustness, though the
+    // invariant above means either side alone would select the same set
+    val touchingEdges = edges
+      .join(reVertices.withColumnRenamed("url", "url1"), Seq("url1"), "left_semi")
+      .unionByName(edges
+        .join(reVertices.withColumnRenamed("url", "url2"), Seq("url2"), "left_semi"))
+      .distinct()
+      .cache()
+    val re = Clustering.clusterAll(reVertices, "url", touchingEdges, "url1", "url2")
+    (reusedAssign.unionByName(re), touchingEdges.count(), edges.count())
+  }
 
   /** Incremental run (I1 + I2 end-to-end): given the previous run's
     * signatures + scored pairs and a new snapshot of the input, only
@@ -549,8 +594,10 @@ object ErPipeline {
     * record shifted block membership or hot-block ranks — they are new in
     * the candidate set, so they get scored. Previously scored pairs that
     * dropped out of the candidate set persist (the reference keeps its
-    * comparisons table across runs, run_search.py:416-434). Clusters are
-    * recomputed from the merged pair table (a global operation).
+    * comparisons table across runs, run_search.py:416-434). With
+    * `priorClusters` supplied, clustering is incremental too (see
+    * incrementalClusters); without it the merged pair table re-clusters
+    * globally.
     *
     * With cfg.batchLimit > 0, at most batchLimit stale rows are processed,
     * oldest warc_ts first (url tiebreak) — the reference's per-run cap
@@ -561,7 +608,8 @@ object ErPipeline {
       pages: DataFrame,
       priorSignatures: DataFrame,
       priorScored: DataFrame,
-      cfg: Config): (Result, IncrementalStats) = {
+      cfg: Config,
+      priorClusters: Option[DataFrame] = None): (Result, IncrementalStats) = {
     val prior = priorSignatures.cache()
     val staleAll = staleRows(pages, prior.select(col("url"), col("warc_ts")), "url", "warc_ts")
     val stale =
@@ -612,8 +660,27 @@ object ErPipeline {
       .unionByName(rescored)
       .cache()
 
-    val clustered = clusters(mergedSigs, mergedScored)
-    val stats = IncrementalStats(nStale, rescored.count(), reused.count())
+    val (clustered, nReEdges, nEdges) = priorClusters match {
+      case Some(pc) =>
+        // affected = stale records + endpoints of every re-scored pair +
+        // partners of prior match edges a stale record took away (those
+        // components may SPLIT, so the surviving partner must re-cluster)
+        val droppedPartners = priorScored.filter(col("matches"))
+          .join(staleUrls.withColumnRenamed("url", "url1"), Seq("url1"), "left_semi")
+          .select(col("url2").as("url"))
+          .unionByName(priorScored.filter(col("matches"))
+            .join(staleUrls.withColumnRenamed("url", "url2"), Seq("url2"), "left_semi")
+            .select(col("url1").as("url")))
+        val affectedNodes = staleUrls
+          .unionByName(toScore.select(col("url1").as("url")))
+          .unionByName(toScore.select(col("url2").as("url")))
+          .unionByName(droppedPartners)
+        incrementalClusters(mergedSigs, mergedScored, pc, affectedNodes)
+      case None =>
+        (clusters(mergedSigs, mergedScored), -1L, -1L)
+    }
+    val stats = IncrementalStats(nStale, rescored.count(), reused.count(),
+      nReEdges, nEdges)
     (Result(mergedSigs, mergedSigs, toScore, mergedScored, clustered), stats)
   }
 

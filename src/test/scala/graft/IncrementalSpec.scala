@@ -33,8 +33,18 @@ class IncrementalSpec extends SparkSpec {
       .unionByName(newEntities)
       .cache()
 
-    val (inc, stats) = ErPipeline.runIncremental(spark, pages1, sigs0, scored0, cfg)
-    info(s"stale=${stats.staleRowCount} rescored=${stats.rescoredPairs} reused=${stats.reusedPairs}")
+    val clusters0 = full0.clusters.cache()
+    clusters0.count()
+    val (inc, stats) = ErPipeline.runIncremental(spark, pages1, sigs0, scored0, cfg,
+      priorClusters = Some(clusters0))
+    info(s"stale=${stats.staleRowCount} rescored=${stats.rescoredPairs} " +
+      s"reused=${stats.reusedPairs} reclusteredEdges=${stats.clusterEdgesReclustered}" +
+      s"/${stats.clusterEdgesTotal}")
+    // incremental clustering re-converges only the affected subgraph:
+    // the CC input must shrink vs the full edge set
+    assert(stats.clusterEdgesReclustered >= 0L
+      && stats.clusterEdgesReclustered < stats.clusterEdgesTotal,
+      s"CC input did not shrink: ${stats.clusterEdgesReclustered}/${stats.clusterEdgesTotal}")
 
     // stale set = bumped bases + all pages of the 5 new entities
     assert(stats.staleRowCount === bumped.count() + newEntities.count())
