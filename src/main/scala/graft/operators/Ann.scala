@@ -40,18 +40,36 @@ object Ann {
   /** LSH-bucketed approximate top-k: candidates = bucket collisions in any
     * of `tables` random-hyperplane tables, re-ranked exactly.
     */
+  /** Exploded (id, bucket) random-hyperplane keys — the persistable LSH
+    * index artifact (one row per table per vector).
+    */
+  private[operators] def rhpBuckets(
+      df: DataFrame, id: String, as: String, embCol: String,
+      bits: Int, tables: Int): DataFrame =
+    df.select(col(id).as(as),
+      explode(array((0 until tables).map(t =>
+        concat(lit(s"$t:"),
+          Similarity.rhpKey(col(embCol), bits, 0xA11CE000L + t).cast("string"))): _*))
+        .as("bucket"))
+
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, cId: String, embCol: String, k: Int,
-      bits: Int = 8, tables: Int = 4): DataFrame = {
-    def keyed(df: DataFrame, id: String, as: String) =
-      df.select(col(id).as(as),
-        explode(array((0 until tables).map(t =>
-          concat(lit(s"$t:"),
-            Similarity.rhpKey(col(embCol), bits, 0xA11CE000L + t).cast("string"))): _*))
-          .as("bucket"))
-    val q = keyed(queries, qId, "query_id")
-    val c = keyed(corpus, cId, "neighbor_id")
+      bits: Int = 8, tables: Int = 4): DataFrame =
+    lshTopKWithBuckets(queries,
+      rhpBuckets(corpus, cId, "neighbor_id", embCol, bits, tables),
+      corpus, qId, cId, embCol, k, bits, tables)
+
+  /** lshTopK over PREBUILT corpus buckets (see AnnIndex: built once per
+    * corpus snapshot, resumed across query batches); queries are keyed on
+    * the fly — they are the small ad-hoc side.
+    */
+  def lshTopKWithBuckets(
+      queries: DataFrame, corpusBuckets: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, embCol: String, k: Int,
+      bits: Int, tables: Int): DataFrame = {
+    val q = rhpBuckets(queries, qId, "query_id", embCol, bits, tables)
+    val c = corpusBuckets
     // the bucket join and the collision dedup carry IDS ONLY — both
     // embedding payloads join back once per deduped pair, not once per
     // colliding bucket (same shape as Dedup.embeddingPairsLsh): the
@@ -89,32 +107,59 @@ object Ann {
       qId: String, cId: String, embCol: String, k: Int,
       cells: Int = 16, nProbe: Int = 4,
       sampleN: Int = 4096, iters: Int = 8): DataFrame = {
+    val centroids = trainIvf(corpus, cId, embCol, cells, sampleN, iters)
+    val corpusCells = assignCells(corpus, cId, embCol, centroids)
+    ivfProbe(queries, qId, embCol, centroids, corpusCells, k, nProbe)
+  }
+
+  /** Deterministic coarse-quantizer training: bounded hash-ordered sample
+    * (the only collect — standard IVF practice, training never needs the
+    * full corpus) + driver-side Lloyd iterations.
+    */
+  private[operators] def trainIvf(
+      corpus: DataFrame, cId: String, embCol: String,
+      cells: Int, sampleN: Int, iters: Int): Array[Array[Double]] = {
     val sample = corpus
       .select(col(embCol).cast("array<float>").as("e"), xxhash64(col(cId)).as("_h"))
       .orderBy(col("_h"))
       .limit(sampleN)
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("e").toArray)
-    val centroids = trainKMeans(sample, cells, iters)
+    trainKMeans(sample, cells, iters)
+  }
 
-    def cellSims(e: org.apache.spark.sql.Column) = array(centroids.zipWithIndex.map {
-      case (c, i) =>
-        struct(
-          Similarity.cosineSim(e, typedLit(c.toSeq)).as("sim"),
-          lit(i).as("cell"))
-    }: _*)
-    // corpus rows land in their single nearest cell: array_max over
-    // (sim, cell) structs = max cosine, HIGHEST cell index on exact sim
-    // ties (struct ordering) — deterministic; note trainKMeans's own
-    // assignment breaks ties toward the LOWEST index, which only matters
-    // for exactly-equidistant vectors
-    val corpusCells = corpus.select(
+  private[operators] def cellSims(centroids: Array[Array[Double]])(
+      e: org.apache.spark.sql.Column) = array(centroids.zipWithIndex.map {
+    case (c, i) =>
+      struct(
+        Similarity.cosineSim(e, typedLit(c.toSeq)).as("sim"),
+        lit(i).as("cell"))
+  }: _*)
+
+  /** Corpus rows land in their single nearest cell: array_max over
+    * (sim, cell) structs = max cosine, HIGHEST cell index on exact sim
+    * ties (struct ordering) — deterministic; note trainKMeans's own
+    * assignment breaks ties toward the LOWEST index, which only matters
+    * for exactly-equidistant vectors. Output: (neighbor_id, ce, cell) —
+    * the inverted-file table (the persistable index artifact).
+    */
+  private[operators] def assignCells(
+      corpus: DataFrame, cId: String, embCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(
       col(cId).as("neighbor_id"), col(embCol).cast("array<double>").as("ce"))
-      .withColumn("cell", array_max(cellSims(col("ce"))).getField("cell"))
-    // queries probe their nProbe nearest cells
+      .withColumn("cell", array_max(cellSims(centroids)(col("ce"))).getField("cell"))
+
+  /** Probe side of IVF: queries probe their nProbe nearest cells, exact
+    * re-rank within the probed inverted lists.
+    */
+  private[operators] def ivfProbe(
+      queries: DataFrame, qId: String, embCol: String,
+      centroids: Array[Array[Double]], corpusCells: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val queryCells = queries.select(
       col(qId).as("query_id"), col(embCol).cast("array<double>").as("qe"))
-      .withColumn("probe", slice(reverse(array_sort(cellSims(col("qe")))), 1, nProbe))
+      .withColumn("probe", slice(reverse(array_sort(cellSims(centroids)(col("qe")))), 1, nProbe))
       .select(col("query_id"), col("qe"), explode(col("probe")).as("p"))
       .select(col("query_id"), col("qe"), col("p.cell").as("cell"))
     val cands = queryCells.join(corpusCells, Seq("cell"))

@@ -982,6 +982,41 @@ object Catalog {
       |  WHERE a.vec_id < 20)
       |WHERE rk <= 5""".stripMargin
 
+  /** IVF recall through the PERSISTED index path (AnnIndex): centroids +
+    * inverted-file assignments build once as fingerprinted StageStore
+    * stages under a per-(app, sfDir) root and every later invocation
+    * resumes them from parquet (lineage-verified) — only the probe runs.
+    * Same parameters and (deterministic) training as ann_ivf_recall, so
+    * the result is identical whether the index was built or resumed.
+    */
+  val annIndexRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val sfName = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${appId}_$sfName"
+    val idx = graft.operators.AnnIndex.buildIvf(s, root, e, "vec_id", "embedding",
+      cells = 16)
+    val approx = graft.operators.AnnIndex.ivfTopK(
+      e.filter(col("vec_id") < 20), idx, "vec_id", "embedding", 5, nProbe = 8)
+    val exact = Ann.bruteForceTopK(e.filter(col("vec_id") < 20), e,
+      "vec_id", "vec_id", "embedding", 5)
+    exact.join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+      Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("recall"),
+        count(lit(1)).as("n"))
+      .select(col("n"), (col("recall") >= 0.7).as("recall_ok"))
+  }
+
+  val annIndexRecallSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n, true AS recall_ok FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rk
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 20)
+      |WHERE rk <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Text analysis over documents
   // ---------------------------------------------------------------------
@@ -1434,6 +1469,7 @@ object Catalog {
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_lsh_recall" -> annLshRecall,
     "ann_ivf_recall" -> annIvfRecall,
+    "ann_index_recall" -> annIndexRecall,
     "ann_quantized_recall" -> annQuantizedRecall,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
@@ -1490,6 +1526,7 @@ object Catalog {
     "ann_bruteforce_topk" -> annBruteforceTopkSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "ann_ivf_recall" -> annIvfRecallSql,
+    "ann_index_recall" -> annIndexRecallSql,
     "ann_quantized_recall" -> annQuantizedRecallSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
