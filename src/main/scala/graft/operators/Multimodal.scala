@@ -3,27 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftKernels.mix64
-
 /** Multimodal columns: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct; decode / feature-extract
   * run batched per partition (`mapPartitions` — the Scala analogue of
   * mapInPandas batches).
   *
-  * Decode surface:
-  *  - kind "bmp" has a REAL pure-JVM decoder (`decodeBmp`): uncompressed
+  * Decode surface — EVERY kind decodes for real, no stubs:
+  *  - kind "bmp" has a pure-JVM decoder (`decodeBmp`): uncompressed
   *    24-bit Windows BMP — BITMAPFILEHEADER + BITMAPINFOHEADER parse,
   *    bottom-up row order, 4-byte row padding. No native codec needed.
-  *  - audio has a REAL pure-JVM decoder too (`decodeWav`): RIFF chunk
+  *  - audio has a pure-JVM decoder too (`decodeWav`): RIFF chunk
   *    walk, PCM 16-bit samples.
-  *  - compressed images (png/jpeg/gif) decode for REAL through
+  *  - compressed images (png/jpeg/gif) decode through
   *    `javax.imageio.ImageIO` — pure-JDK codecs, no native library
-  *    (`decodeImage`/`decodeImageStats`).
-  *  - only "video" remains STUBBED (`decodeStub` — the JDK ships no video
-  *    codec): deterministic fake features from payload bytes. Schema,
-  *    partitioning, batch iteration and output shape are the real
-  *    production plumbing either way; adding a codec touches only the
-  *    per-kind decode function.
+  *    (`decodeImage`/`decodeImageStats`); animated GIFs frame-sample for
+  *    real (`decodeGifStats`).
+  *  - video decodes through the RIFF/MJPEG path (`decodeAviFrames` /
+  *    `decodeAviStats`): AVI container walk (the WAV chunk walk
+  *    generalized) + per-frame ImageIO JPEG decode — real frame sampling
+  *    on a container the JVM genuinely decodes. Containers needing
+  *    codecs the JDK lacks (mp4/h264) fail loudly at the RIFF magic.
   */
 object Multimodal {
 
@@ -509,38 +508,197 @@ object Multimodal {
     encodeBmp(w, h, (x, _) => (base + x, g, b))
   }
 
-  /** ==== STUB ==== deterministic fake decoder, reachable ONLY for kind
-    * "video" (mp4/mov-style containers, for which the JDK ships no
-    * codec): a real implementation would parse the container and sample
-    * frames here. Shape contract (dims + fixed-size feature vector) is
-    * the real one; every image kind (bmp/png/jpeg/gif) and multi-frame
-    * animated-GIF sampling (decodeGifStats) decode for real above, and
-    * audio decodes for real through decodeWavStats (extractFeatures is
-    * the IMAGE feature surface — it refuses audio kinds with a pointer
-    * there rather than faking features).
+  // ==== REAL DECODER: MJPEG-in-AVI video (RIFF container) ==============
+
+  /** Encode a solid-gray baseline JPEG with an EXPLICIT compression
+    * quality. Solid gray is the one image class baseline JPEG reproduces
+    * byte-exactly (gray RGB -> Y = v, Cb = Cr = 128; after the level
+    * shift every AC coefficient and both chroma planes are zero, and the
+    * DC quantizer step at this quality divides the DC value), which gives
+    * MJPEG frame stats a closed algebraic form — the spec
+    * differential-tests the round trip for every gray value.
     */
-  def decodeStub(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val width = 64 + (math.abs(mix64(h ^ 1)) % 1024).toInt
-    val height = 64 + (math.abs(mix64(h ^ 2)) % 1024).toInt
-    val feat = new Array[Float](dim)
-    var d = 0
-    while (d < dim) {
-      feat(d) = (mix64(h ^ (d + 3)).toDouble / Long.MaxValue.toDouble).toFloat
-      d += 1
+  def encodeJpegSolid(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(gray >= 0 && gray <= 255, s"bad gray $gray")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
     }
-    (width, height, feat)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.75f)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Encode an MJPEG-in-AVI video: RIFF('AVI ') with LIST hdrl (avih +
+    * strl/strh/strf declaring one 'MJPG' video stream) and LIST movi
+    * holding one word-aligned '00dc' chunk per JPEG frame. The payloads
+    * are valid files any AVI-capable player opens — fixture generator
+    * with closed-form header stats, like encodeBmp/encodeGif.
+    */
+  def encodeAvi(width: Int, height: Int, jpegFrames: Seq[Array[Byte]],
+      fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0 && jpegFrames.nonEmpty && fps > 0,
+      s"bad avi shape ${width}x$height x${jpegFrames.length} @${fps}fps")
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def le32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def le16(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+      fourcc(id) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(kind) ++ body)
+    val maxFrame = jpegFrames.map(_.length).max
+    val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(jpegFrames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(jpegFrames.length) ++ le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+      fourcc("MJPG") ++ le32(width * height * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      jpegFrames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    out.write(fourcc("RIFF")); out.write(le32(body.length)); out.write(body)
+    out.toByteArray
+  }
+
+  /** Parse an MJPEG AVI: validates RIFF/'AVI ' magic, walks the chunk
+    * tree to the avih header (declared frame count + dims, checked
+    * against MaxDim BEFORE any frame decode) and the movi list, decodes
+    * every video chunk ('##dc'/'##db') through the JDK's JPEG reader and
+    * requires each frame's dims to match the header. Fails loudly on
+    * truncation, missing headers, undecodable frames, or a frame-count
+    * mismatch — never fakes features.
+    */
+  def decodeAviFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    require(payload.length >= 24, s"truncated AVI: ${payload.length} bytes")
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF file")
+    val riffSize = b.getInt()
+    require(riffSize >= 4 && riffSize <= payload.length - 8,
+      s"RIFF size $riffSize inconsistent with ${payload.length} bytes")
+    require(tag() == "AVI ", "not an AVI file")
+    var declaredFrames = -1; var width = -1; var height = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+    // walk a chunk run [from, until); LIST bodies recurse
+    def walk(from: Int, until: Int): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = new String(payload, p, 4, "US-ASCII")
+        val size = b.getInt(p + 4)
+        require(size >= 0 && p + 8 + size <= until,
+          s"truncated chunk '$id' ($size bytes) at offset $p")
+        if (id == "LIST") {
+          val kind = new String(payload, p + 8, 4, "US-ASCII")
+          if (kind == "hdrl" || kind == "strl" || kind == "movi")
+            walk(p + 12, p + 8 + size)
+        } else if (id == "avih") {
+          require(size >= 40, s"avih too small ($size bytes)")
+          declaredFrames = b.getInt(p + 8 + 16)
+          width = b.getInt(p + 8 + 32)
+          height = b.getInt(p + 8 + 36)
+          require(width > 0 && height > 0 && width <= MaxDim && height <= MaxDim,
+            s"AVI dims over cap: ${width}x$height (max $MaxDim)")
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          require(width > 0, "video chunk before avih header")
+          val img = decodeImage(java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + size))
+          require(img.getWidth == width && img.getHeight == height,
+            s"frame ${frames.length} is ${img.getWidth}x${img.getHeight} " +
+              s"but the header declares ${width}x$height")
+          frames += img
+        }
+        p += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, 8 + riffSize)
+    require(declaredFrames >= 0, "no avih header")
+    require(frames.nonEmpty, "no video frames")
+    require(frames.length == declaredFrames,
+      s"decoded ${frames.length} frames but header declares $declaredFrames")
+    frames.toIndexedSeq
+  }
+
+  /** Deterministic synthetic MJPEG AVI keyed by doc_id: frame count, dims
+    * and per-frame solid grays are closed-form functions of the id
+    * (frames = 1 + id%8, gray(f) = (id*7 + f*13) % 256 — the same frame
+    * algebra as syntheticGif), so frame-sampled stats have an ANSI-SQL
+    * closed form (solid-gray JPEG round-trips exactly, see
+    * encodeJpegSolid).
+    */
+  def syntheticAvi(docId: Long): Array[Byte] = {
+    val frames = 1 + (docId % 8).toInt
+    val w = 4 + (docId % 8).toInt
+    val h = 4 + (docId % 4).toInt
+    encodeAvi(w, h, (0 until frames).map(f =>
+      encodeJpegSolid(w, h, ((docId * 7 + f * 13) % 256).toInt)))
+  }
+
+  final case class AviStats(
+      doc_id: Long, n_frames: Int, width: Int, height: Int,
+      n_sampled: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL video frame sampling over a (doc_id, payload) table of MJPEG
+    * AVIs: parse the container, decode every `stride`th frame through the
+    * JPEG codec, report channel means over the sampled frames — the same
+    * shape as decodeGifStats, on a genuine video container. Batched per
+    * partition.
+    */
+  def decodeAviStats(df: DataFrame, stride: Int = 2): Dataset[AviStats] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    implicit val enc = Encoders.product[AviStats]
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val frames = decodeAviFrames(r.getAs[Array[Byte]]("payload"))
+          val sampled = frames.indices.by(stride).map(frames)
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          sampled.foreach { img =>
+            val (mr, mg, mb) = channelStats(img)
+            sr += mr; sg += mg; sb += mb
+          }
+          val k = sampled.length.toDouble
+          AviStats(r.getLong(0), frames.length,
+            frames.head.getWidth, frames.head.getHeight,
+            sampled.length, sr / k, sg / k, sb / k)
+        }
+      }
   }
 
   /** df must carry (doc_id: long, payload: binary, kind: string). Runs the
     * decode batched per partition; the output is a typed Dataset ready for
-    * downstream similarity search over `feature`. Every image kind decodes
-    * for real — "bmp" through the pure-JVM parser (dims from the header,
+    * downstream similarity search over `feature`. EVERY kind decodes for
+    * real — "bmp" through the pure-JVM parser (dims from the header,
     * feature = channel means then zero-pad), "png"/"jpeg"/"jpg"/"gif"
-    * through ImageIO. Only "video" goes through the labeled stub; an
-    * unknown kind fails loudly instead of faking features.
+    * through ImageIO, "video"/"avi" through the RIFF/MJPEG parser
+    * (feature = channel means over all frames); an unknown kind fails
+    * loudly instead of faking features.
     */
   def extractFeatures(df: DataFrame, dim: Int = 32): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
@@ -575,7 +733,16 @@ object Multimodal {
               val img = decodeImage(payload)
               val (mr, mg, mb) = channelStats(img)
               meanFeature(img.getWidth, img.getHeight, mr, mg, mb)
-            case "video" => decodeStub(payload, dim)
+            case "video" | "avi" =>
+              val frames = decodeAviFrames(payload)
+              var sr = 0.0; var sg = 0.0; var sb = 0.0
+              frames.foreach { img =>
+                val (mr, mg, mb) = channelStats(img)
+                sr += mr; sg += mg; sb += mb
+              }
+              val k = frames.length.toDouble
+              meanFeature(frames.head.getWidth, frames.head.getHeight,
+                sr / k, sg / k, sb / k)
             case "wav" | "audio" =>
               throw new IllegalArgumentException(
                 "audio payloads decode via decodeWavStats, not the image feature extractor")
@@ -587,15 +754,56 @@ object Multimodal {
       }
   }
 
-  /** Byte-stride frame-offset stub for codec-less video payloads (every
-    * `stride` bytes stands in for every Nth frame). The REAL
-    * frame-sampling path for containers the JVM can decode is
-    * decodeGifStats above.
+  /** Byte offsets of every video chunk in an MJPEG AVI — a REAL seek
+    * index parsed from the container (no frame decode): each offset
+    * points at the first byte of a frame's JPEG payload. `stride` keeps
+    * every Nth frame's offset (the sample-every-Nth-frame shape without
+    * paying for decode).
     */
-  def sampleFrames(df: DataFrame, stride: Int): DataFrame =
-    df.select(col("doc_id"), col("payload"))
-      .withColumn("frame_offsets",
-        transform(sequence(lit(0), ((length(col("payload")) - 1) / stride).cast("int")),
-          i => i * stride))
-      .withColumn("n_frames", size(col("frame_offsets")))
+  final case class FrameIndex(doc_id: Long, n_frames: Int, frame_offsets: Seq[Long])
+
+  def sampleFrames(df: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    implicit val enc = Encoders.product[FrameIndex]
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val offsets = aviFrameOffsets(payload)
+          FrameIndex(r.getLong(0), offsets.length,
+            offsets.indices.by(stride).map(i => offsets(i)))
+        }
+      }.toDF()
+  }
+
+  /** Offsets of the '##dc'/'##db' chunk payloads inside an AVI's movi
+    * list (header-walk only — no decode).
+    */
+  def aviFrameOffsets(payload: Array[Byte]): IndexedSeq[Long] = {
+    require(payload.length >= 24, s"truncated AVI: ${payload.length} bytes")
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(new String(payload, 0, 4, "US-ASCII") == "RIFF", "not a RIFF file")
+    val riffSize = b.getInt(4)
+    require(riffSize >= 4 && riffSize <= payload.length - 8,
+      s"RIFF size $riffSize inconsistent with ${payload.length} bytes")
+    require(new String(payload, 8, 4, "US-ASCII") == "AVI ", "not an AVI file")
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def walk(from: Int, until: Int): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = new String(payload, p, 4, "US-ASCII")
+        val size = b.getInt(p + 4)
+        require(size >= 0 && p + 8 + size <= until,
+          s"truncated chunk '$id' ($size bytes) at offset $p")
+        if (id == "LIST") {
+          val kind = new String(payload, p + 8, 4, "US-ASCII")
+          if (kind == "hdrl" || kind == "strl" || kind == "movi")
+            walk(p + 12, p + 8 + size)
+        } else if (id.endsWith("dc") || id.endsWith("db")) offsets += (p + 8).toLong
+        p += 8 + size + (size & 1)
+      }
+    }
+    walk(12, 8 + riffSize)
+    offsets.toIndexedSeq
+  }
 }

@@ -1222,11 +1222,12 @@ object Catalog {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Multimodal: opaque binary columns with typed metadata (decode stubbed)
+  // Multimodal: opaque binary columns, real decoders for every kind
   // ---------------------------------------------------------------------
 
   /** Binary-column plumbing: payload bytes + content hash (schema shape of
-    * an image/audio table; the decode stage is Multimodal.decodeStub).
+    * an image/audio/video table; the decode stages are the real
+    * Multimodal decoders below).
     */
   val mmBinaryMeta: Q = (s, dir) =>
     t(s, dir, "documents").select(
@@ -1335,6 +1336,46 @@ object Catalog {
       |      j -> CAST((doc_id * 7 + 26 * j) % 256 AS DOUBLE)), 'avg'), 4) AS mean_r,
       |  round(CAST((doc_id * 3 + 11) % 256 AS DOUBLE), 4) AS mean_g,
       |  round(CAST((doc_id * 5 + 29) % 256 AS DOUBLE), 4) AS mean_b
+      |FROM documents""".stripMargin
+
+  /** REAL video decode: synthesize an MJPEG-in-AVI file per doc_id (frame
+    * count / dims / per-frame solid grays are closed-form functions of
+    * the id), walk the RIFF container, decode every 2nd frame through
+    * the JDK's JPEG codec, report frame count + dims + channel means over
+    * the sampled frames. Solid-gray frames are the one class baseline
+    * JPEG reproduces byte-exactly (spec-verified for all 256 grays), so
+    * the oracle recomputes the lossy-codec stats algebraically — same
+    * discipline as mm_decode_gif, on a genuine video container.
+    */
+  val mmDecodeAvi: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticAvi(id)))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeAviStats(payloads, stride = 2)
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+        col("n_sampled"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+  }
+
+  val mmDecodeAviSql: String =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 8 AS INT) AS n_frames,
+      |  CAST(4 + doc_id % 8 AS INT) AS width,
+      |  CAST(4 + doc_id % 4 AS INT) AS height,
+      |  CAST((2 + doc_id % 8) // 2 AS INT) AS n_sampled,
+      |  round(list_aggregate(list_transform(
+      |      generate_series(0, CAST((doc_id % 8) // 2 AS INT)),
+      |      j -> CAST((doc_id * 7 + 26 * j) % 256 AS DOUBLE)), 'avg'), 4) AS mean_r,
+      |  round(list_aggregate(list_transform(
+      |      generate_series(0, CAST((doc_id % 8) // 2 AS INT)),
+      |      j -> CAST((doc_id * 7 + 26 * j) % 256 AS DOUBLE)), 'avg'), 4) AS mean_g,
+      |  round(list_aggregate(list_transform(
+      |      generate_series(0, CAST((doc_id % 8) // 2 AS INT)),
+      |      j -> CAST((doc_id * 7 + 26 * j) % 256 AS DOUBLE)), 'avg'), 4) AS mean_b
       |FROM documents""".stripMargin
 
   /** Second real decoder, audio: synthesize a valid mono 16-bit PCM WAV
@@ -1482,6 +1523,7 @@ object Catalog {
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
     "mm_decode_gif" -> mmDecodeGif,
+    "mm_decode_avi" -> mmDecodeAvi,
     "mm_decode_wav" -> mmDecodeWav,
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
@@ -1539,6 +1581,7 @@ object Catalog {
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,
     "mm_decode_gif" -> mmDecodeGifSql,
+    "mm_decode_avi" -> mmDecodeAviSql,
     "mm_decode_wav" -> mmDecodeWavSql,
     "stream_windowed_agg" -> streamWindowedAggSql,
     "stream_sessionize" -> streamSessionizeSql,

@@ -221,19 +221,25 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall $recall too low")
   }
 
-  test("multimodal stub: schema, determinism, batch shape") {
-    // "video" is the one stub-dispatched kind left (images decode for real)
+  test("multimodal video: real decode, schema, determinism, batch shape") {
     val media = docs.limit(10)
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"), lit("video").as("kind"))
+      .select($"doc_id".cast("long")).as[Long]
+      .map(id => (id, Multimodal.syntheticAvi(id), "video"))
+      .toDF("doc_id", "payload", "kind")
     val feats = Multimodal.extractFeatures(media, dim = 16)
     val rows = feats.collect()
     assert(rows.length === 10)
     assert(rows.forall(_.feature.length === 16))
-    assert(rows.forall(r => r.width >= 64 && r.height >= 64))
+    // REAL container dims (closed form), not stub fakes
+    assert(rows.forall(r =>
+      r.width == 4 + (r.doc_id % 8) && r.height == 4 + (r.doc_id % 4)))
     // deterministic
     val again = Multimodal.extractFeatures(media, dim = 16).collect()
     assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
-    val frames = Multimodal.sampleFrames(media, stride = 50)
+    // the seek index parses real chunk offsets without decoding
+    val frames = Multimodal.sampleFrames(media, stride = 2)
     assert(frames.agg(min("n_frames")).head().getInt(0) >= 1)
+    assert(frames.filter(size($"frame_offsets") =!=
+      org.apache.spark.sql.functions.expr("(n_frames + 1) div 2")).count() === 0L)
   }
 }

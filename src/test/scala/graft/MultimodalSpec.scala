@@ -92,10 +92,11 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("extractFeatures dispatches every image kind to a real decoder; video to the stub") {
+  test("extractFeatures dispatches EVERY kind (video included) to a real decoder") {
     val bmp = Multimodal.syntheticBmp(42L)
     val png = Multimodal.syntheticPng(42L)
-    val df = Seq((42L, bmp, "bmp"), (43L, png, "png"), (44L, bmp, "video"))
+    val avi = Multimodal.syntheticAvi(42L)
+    val df = Seq((42L, bmp, "bmp"), (43L, png, "png"), (44L, avi, "video"))
       .toDF("doc_id", "payload", "kind")
     val got = Multimodal.extractFeatures(df, dim = 8).collect()
       .map(f => f.doc_id -> f).toMap
@@ -105,8 +106,12 @@ class MultimodalSpec extends SparkSpec {
     assert(got(43L).width === w && got(43L).height === h)
     // identical pixels -> identical channel-mean features across codecs
     assert(got(42L).feature.toSeq === got(43L).feature.toSeq)
-    // only video keeps the stub's fake-dims contract (>= 64 by construction)
-    assert(got(44L).width >= 64)
+    // video: REAL container dims and the closed-form mean over all frames
+    assert(got(44L).width === 4 + (42 % 8) && got(44L).height === 4 + (42 % 4))
+    val grays = (0 until 1 + (42 % 8)).map(f => ((42L * 7 + f * 13) % 256).toDouble)
+    val mean = grays.sum / grays.length
+    (0 until 3).foreach(c =>
+      assert(math.abs(got(44L).feature(c) - mean) < 1e-4, s"video channel $c"))
     assert(got(42L).feature.length === 8)
   }
 
@@ -234,5 +239,79 @@ class MultimodalSpec extends SparkSpec {
     val b = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.putInt(16, 8) // fmt chunk size field: claim 8 bytes (fields need 16)
     intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+  }
+
+  test("solid-gray JPEG round-trips byte-exactly for EVERY gray value") {
+    // the closed-form AVI oracle rests on this: verify all 256 grays, a
+    // couple of dims (odd sizes exercise chroma-subsampling edges)
+    javax.imageio.ImageIO.setUseCache(false)
+    for (gray <- 0 until 256) {
+      val jpeg = Multimodal.encodeJpegSolid(5, 3, gray)
+      val img = Multimodal.decodeImage(jpeg)
+      assert(img.getWidth === 5 && img.getHeight === 3)
+      for (x <- 0 until 5; y <- 0 until 3) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xFF) === gray && ((p >> 8) & 0xFF) === gray
+          && (p & 0xFF) === gray, s"gray $gray at ($x,$y) -> ${p.toHexString}")
+      }
+    }
+  }
+
+  test("MJPEG AVI round-trip: container walk, frame count, dims, frame pixels") {
+    val frames = Seq(10, 128, 250).map(g => Multimodal.encodeJpegSolid(6, 4, g))
+    val avi = Multimodal.encodeAvi(6, 4, frames, fps = 5)
+    assert(new String(avi, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") === "AVI ")
+    val decoded = Multimodal.decodeAviFrames(avi)
+    assert(decoded.length === 3)
+    assert(decoded.forall(f => f.getWidth == 6 && f.getHeight == 4))
+    Seq(10, 128, 250).zip(decoded).foreach { case (g, img) =>
+      val p = img.getRGB(2, 1)
+      assert(((p >> 16) & 0xFF) === g, s"frame gray $g -> ${p.toHexString}")
+    }
+    // the seek index points at each frame's JPEG payload (SOI marker)
+    val offs = Multimodal.aviFrameOffsets(avi)
+    assert(offs.length === 3)
+    offs.foreach { o =>
+      assert((avi(o.toInt) & 0xFF) === 0xFF && (avi(o.toInt + 1) & 0xFF) === 0xD8,
+        s"offset $o does not point at a JPEG SOI")
+    }
+  }
+
+  test("AVI decode rejects malformed containers") {
+    // not RIFF
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAviFrames("nope".getBytes ++ new Array[Byte](40)))
+    // RIFF but not AVI (a WAV)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAviFrames(Multimodal.encodeWav(8000, Array[Short](1, 2))))
+    // truncated movi: chop the last frame's bytes
+    val ok = Multimodal.syntheticAvi(7L)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAviFrames(ok.take(ok.length - 10)))
+    // frame-count mismatch: header declares more frames than movi holds
+    val forged = ok.clone()
+    val b = java.nio.ByteBuffer.wrap(forged).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // avih dwTotalFrames sits at RIFF(12) + LIST hdr(12) + avih hdr(8) + 16
+    b.putInt(12 + 12 + 8 + 16, 99)
+    intercept[IllegalArgumentException](Multimodal.decodeAviFrames(forged))
+  }
+
+  test("synthetic AVI frame-sampled stats match their closed forms") {
+    val ids = Seq(0L, 7L, 12L, 123L, 255L)
+    val df = ids.map(id => (id, Multimodal.syntheticAvi(id))).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAviStats(df, stride = 2).collect()
+      .map(s => s.doc_id -> s).toMap
+    ids.foreach { id =>
+      val s = got(id)
+      val nFrames = 1 + (id % 8).toInt
+      assert(s.n_frames === nFrames)
+      assert(s.width === 4 + (id % 8).toInt && s.height === 4 + (id % 4).toInt)
+      val sampled = 0 until nFrames by 2
+      assert(s.n_sampled === sampled.length)
+      val mean = sampled.map(f => ((id * 7 + f * 13) % 256).toDouble).sum / sampled.length
+      assert(math.abs(s.mean_r - mean) < 1e-9, s"id $id mean_r ${s.mean_r} vs $mean")
+      assert(math.abs(s.mean_g - mean) < 1e-9 && math.abs(s.mean_b - mean) < 1e-9)
+    }
   }
 }
