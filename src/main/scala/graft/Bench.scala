@@ -42,6 +42,21 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+
+    // Quiet-window discipline (same as the scaling campaign): a bench
+    // started under heavy background load undersells the code 1.2-2.3x
+    // nearly uniformly (measured round 4: load 3.55 start vs 1.71 —
+    // every untouched query read slower). Wait — bounded — for the host
+    // to quiet down before measuring; the JSON records how long we
+    // waited and the load when measurement actually began.
+    val maxStartLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_START_LOAD", "2.5").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "600").toInt
+    val loadFirstSeen = loadNow()
+    var waitedSec = 0
+    while (loadNow() > maxStartLoad && waitedSec < maxWaitSec) {
+      Thread.sleep(15000)
+      waitedSec += 15
+    }
     val loadAtStart = loadNow() // background load BEFORE the bench adds its own
 
     // warmup: touch every table + exercise codegen paths once at tiny
@@ -106,6 +121,7 @@ object Bench {
         f""""er_pipeline_sec":$pipelineSec%.3f,"er_pipeline_pages":$nPages,""" +
         f""""er_pipeline_docs_per_sec":$docsPerSec%.1f,"er_clusters":$nClusters,""" +
         f""""load_avg":$loadAvg%.2f,"load_avg_at_start":$loadAtStart%.2f,""" +
+        f""""load_avg_first_seen":$loadFirstSeen%.2f,"quiet_wait_sec":$waitedSec,""" +
         s""""host_cores":$hostCores,"bench_cores":$cpus,""" +
         s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

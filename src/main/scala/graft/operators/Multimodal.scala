@@ -35,6 +35,16 @@ object Multimodal {
     */
   private[operators] val MaxDim = 32767
 
+  /** Total-pixel budget per decoded raster: per-axis caps alone still
+    * admit a 32767x32767 (~4.3 GB) frame, so compressed-image decode also
+    * requires w*h under this budget (16.7M pixels ~ 64 MB ARGB) BEFORE
+    * the raster allocates. Multi-frame containers additionally budget
+    * frames*w*h (decodeAviFrames/decodeGifFrames hold every decoded
+    * frame).
+    */
+  private[operators] val MaxPixels = 1L << 24
+  private[operators] val MaxTotalPixels = 1L << 26
+
   // ==== REAL DECODER: uncompressed 24-bit BMP ==========================
 
   final case class BmpImage(width: Int, height: Int, pixels: Array[Byte]) {
@@ -277,6 +287,8 @@ object Multimodal {
       val w = reader.getWidth(0); val h = reader.getHeight(0)
       require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
         s"image dims over cap: ${w}x$h (max $MaxDim)")
+      require(w.toLong * h <= MaxPixels,
+        s"image pixel count ${w.toLong * h} over budget $MaxPixels")
       val img = reader.read(0, null)
       require(img != null, s"undecodable image payload (${payload.length} bytes)")
       img
@@ -428,6 +440,8 @@ object Multimodal {
       val w0 = reader.getWidth(0); val h0 = reader.getHeight(0)
       require(w0 > 0 && h0 > 0 && w0 <= MaxDim && h0 <= MaxDim,
         s"GIF dims over cap: ${w0}x$h0 (max $MaxDim)")
+      require(n.toLong * w0 * h0 <= MaxTotalPixels,
+        s"GIF total pixel count ${n.toLong * w0 * h0} over budget $MaxTotalPixels")
       (0 until n).map { i =>
         val w = reader.getWidth(i); val h = reader.getHeight(i)
         require(w == w0 && h == h0,
@@ -587,27 +601,26 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Parse an MJPEG AVI: validates RIFF/'AVI ' magic, walks the chunk
-    * tree to the avih header (declared frame count + dims, checked
-    * against MaxDim BEFORE any frame decode) and the movi list, decodes
-    * every video chunk ('##dc'/'##db') through the JDK's JPEG reader and
-    * requires each frame's dims to match the header. Fails loudly on
-    * truncation, missing headers, undecodable frames, or a frame-count
-    * mismatch — never fakes features.
+  /** Hardened RIFF/AVI chunk walk shared by the frame decoder and the
+    * seek index: validates the RIFF/'AVI ' magic, every chunk bound, and
+    * word alignment; requires a LIST chunk to actually carry its 4-byte
+    * kind (a size-0 LIST at buffer end must be a validation error, not
+    * an out-of-bounds read); bounds LIST nesting (a real AVI needs depth
+    * 2 — a payload of self-nested LIST headers must fail validation, not
+    * blow the stack). Calls onChunk(id, dataOffset, dataSize) for every
+    * non-LIST chunk in document order.
     */
-  def decodeAviFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
-    require(payload.length >= 24, s"truncated AVI: ${payload.length} bytes")
+  private def walkAviChunks(payload: Array[Byte])(
+      onChunk: (String, Int, Int) => Unit): Unit = {
+    require(payload.length >= 12, s"truncated AVI: ${payload.length} bytes")
     val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def tag(): String = { val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII") }
-    require(tag() == "RIFF", "not a RIFF file")
-    val riffSize = b.getInt()
+    require(new String(payload, 0, 4, "US-ASCII") == "RIFF", "not a RIFF file")
+    val riffSize = b.getInt(4)
     require(riffSize >= 4 && riffSize <= payload.length - 8,
       s"RIFF size $riffSize inconsistent with ${payload.length} bytes")
-    require(tag() == "AVI ", "not an AVI file")
-    var declaredFrames = -1; var width = -1; var height = -1
-    val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
-    // walk a chunk run [from, until); LIST bodies recurse
-    def walk(from: Int, until: Int): Unit = {
+    require(new String(payload, 8, 4, "US-ASCII") == "AVI ", "not an AVI file")
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      require(depth <= 4, s"LIST nesting deeper than 4 — malformed container")
       var p = from
       while (p + 8 <= until) {
         val id = new String(payload, p, 4, "US-ASCII")
@@ -615,28 +628,53 @@ object Multimodal {
         require(size >= 0 && p + 8 + size <= until,
           s"truncated chunk '$id' ($size bytes) at offset $p")
         if (id == "LIST") {
+          require(size >= 4, s"LIST chunk at offset $p too small for its kind ($size bytes)")
           val kind = new String(payload, p + 8, 4, "US-ASCII")
           if (kind == "hdrl" || kind == "strl" || kind == "movi")
-            walk(p + 12, p + 8 + size)
-        } else if (id == "avih") {
-          require(size >= 40, s"avih too small ($size bytes)")
-          declaredFrames = b.getInt(p + 8 + 16)
-          width = b.getInt(p + 8 + 32)
-          height = b.getInt(p + 8 + 36)
-          require(width > 0 && height > 0 && width <= MaxDim && height <= MaxDim,
-            s"AVI dims over cap: ${width}x$height (max $MaxDim)")
-        } else if (id.endsWith("dc") || id.endsWith("db")) {
-          require(width > 0, "video chunk before avih header")
-          val img = decodeImage(java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + size))
-          require(img.getWidth == width && img.getHeight == height,
-            s"frame ${frames.length} is ${img.getWidth}x${img.getHeight} " +
-              s"but the header declares ${width}x$height")
-          frames += img
-        }
+            walk(p + 12, p + 8 + size, depth + 1)
+        } else onChunk(id, p + 8, size)
         p += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, 8 + riffSize)
+    walk(12, 8 + riffSize, 0)
+  }
+
+  /** Parse an MJPEG AVI: validates RIFF/'AVI ' magic, walks the chunk
+    * tree to the avih header (declared frame count + dims, checked
+    * against MaxDim and the total-pixel budget BEFORE any frame decode)
+    * and the movi list, decodes every video chunk ('##dc'/'##db')
+    * through the JDK's JPEG reader and requires each frame's dims to
+    * match the header. Fails loudly on truncation, missing headers,
+    * undecodable frames, or a frame-count mismatch — never fakes
+    * features.
+    */
+  def decodeAviFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var declaredFrames = -1; var width = -1; var height = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+    walkAviChunks(payload) { (id, off, size) =>
+      if (id == "avih") {
+        require(size >= 40, s"avih too small ($size bytes)")
+        declaredFrames = b.getInt(off + 16)
+        width = b.getInt(off + 32)
+        height = b.getInt(off + 36)
+        require(width > 0 && height > 0 && width <= MaxDim && height <= MaxDim,
+          s"AVI dims over cap: ${width}x$height (max $MaxDim)")
+        require(declaredFrames >= 0 &&
+          declaredFrames.toLong * width * height <= MaxTotalPixels,
+          s"AVI total pixel count ${declaredFrames.toLong * width * height} " +
+            s"over budget $MaxTotalPixels")
+      } else if (id.endsWith("dc") || id.endsWith("db")) {
+        require(width > 0, "video chunk before avih header")
+        require(frames.length < declaredFrames,
+          s"more video chunks than the declared $declaredFrames frames")
+        val img = decodeImage(java.util.Arrays.copyOfRange(payload, off, off + size))
+        require(img.getWidth == width && img.getHeight == height,
+          s"frame ${frames.length} is ${img.getWidth}x${img.getHeight} " +
+            s"but the header declares ${width}x$height")
+        frames += img
+      }
+    }
     require(declaredFrames >= 0, "no avih header")
     require(frames.nonEmpty, "no video frames")
     require(frames.length == declaredFrames,
@@ -777,33 +815,14 @@ object Multimodal {
   }
 
   /** Offsets of the '##dc'/'##db' chunk payloads inside an AVI's movi
-    * list (header-walk only — no decode).
+    * list (header-walk only — no decode). Same hardened walker as
+    * decodeAviFrames.
     */
   def aviFrameOffsets(payload: Array[Byte]): IndexedSeq[Long] = {
-    require(payload.length >= 24, s"truncated AVI: ${payload.length} bytes")
-    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(new String(payload, 0, 4, "US-ASCII") == "RIFF", "not a RIFF file")
-    val riffSize = b.getInt(4)
-    require(riffSize >= 4 && riffSize <= payload.length - 8,
-      s"RIFF size $riffSize inconsistent with ${payload.length} bytes")
-    require(new String(payload, 8, 4, "US-ASCII") == "AVI ", "not an AVI file")
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def walk(from: Int, until: Int): Unit = {
-      var p = from
-      while (p + 8 <= until) {
-        val id = new String(payload, p, 4, "US-ASCII")
-        val size = b.getInt(p + 4)
-        require(size >= 0 && p + 8 + size <= until,
-          s"truncated chunk '$id' ($size bytes) at offset $p")
-        if (id == "LIST") {
-          val kind = new String(payload, p + 8, 4, "US-ASCII")
-          if (kind == "hdrl" || kind == "strl" || kind == "movi")
-            walk(p + 12, p + 8 + size)
-        } else if (id.endsWith("dc") || id.endsWith("db")) offsets += (p + 8).toLong
-        p += 8 + size + (size & 1)
-      }
+    walkAviChunks(payload) { (id, off, _) =>
+      if (id.endsWith("dc") || id.endsWith("db")) offsets += off.toLong
     }
-    walk(12, 8 + riffSize)
     offsets.toIndexedSeq
   }
 }

@@ -191,22 +191,27 @@ object ErPipeline {
       signatures: DataFrame, touchedBlocks: Option[DataFrame],
       cfg: Config): DataFrame = {
     val keyed = keyedBlocks(signatures, touchedBlocks)
-    // two-phase block sizing: partial aggregation (map-side combine — the
-    // count of a hot key is reduced IN PARALLEL across input partitions)
-    // joined back on bk. The alternative — count over
-    // Window.partitionBy(bk) — funnels every row of a key into one task
-    // to count it, which at 10^8-row blocks is a straggler even though
-    // the count itself is trivial; the join here is a plain bk equi join
-    // AQE can skew-split. Cost: `keyed` is evaluated by both branches, so
-    // callers should hand in MATERIALIZED signatures (StageStore does in
-    // checkpointed runs; run() caches them in ephemeral mode).
-    val sizes = keyed.groupBy("bk").agg(count(lit(1)).as("bk_n"))
-    val withSize = keyed.join(sizes, Seq("bk"))
+    // Two-phase block sizing that satisfies BOTH measured lessons:
+    //  - r3: joining a full per-key size table back onto `keyed` doubles
+    //    the candidate-stage shuffle (email/phone keys are near-unique,
+    //    so the size table is ~as big as `keyed` itself) and re-evaluates
+    //    the signature expressions per branch — measured 2x stage cost;
+    //  - r4: a count over Window.partitionBy(bk) funnels every row of a
+    //    hot key into ONE task — a straggler at 10^8-row blocks.
+    // So: partial-aggregate (map-side combine) only the HOT keys — the
+    // handful above maxBlock (low-precision soundex/LSH keys; the
+    // near-unique keys never qualify) — and route `keyed` through
+    // anti/semi joins against that SMALL table, which AQE executes as
+    // broadcast joins at any realistic hot-key population. The exploded
+    // key table is never re-shuffled for sizing, and no window ever
+    // counts a whole key in one task.
+    val hotKeys = keyed.groupBy("bk").agg(count(lit(1)).as("bk_n"))
+      .filter(col("bk_n") > cfg.maxBlock)
 
     // cold blocks (<= maxBlock members): gather the block into one bounded
     // array and emit all C(n,2) pairs locally — no self-join, no second
     // shuffle. The bound is what makes collect_list safe.
-    val cold = withSize.filter(col("bk_n") <= cfg.maxBlock)
+    val cold = keyed.join(hotKeys.select("bk"), Seq("bk"), "left_anti")
       .groupBy("bk").agg(array_sort(collect_list("url")).as("us"))
       .filter(size(col("us")) >= 2)
     val coldPairs = cold.select(
@@ -222,7 +227,7 @@ object ErPipeline {
     // hotWindow members in url order; cost is linear in block size.
     // Small/medium hot blocks rank via one window; blocks above
     // hotRankCap rank via the distributed path (no whole-key task).
-    val hotAll = withSize.filter(col("bk_n") > cfg.maxBlock)
+    val hotAll = keyed.join(hotKeys, Seq("bk")) // small side -> broadcast
     val hot = hotAll.filter(col("bk_n") <= cfg.hotRankCap)
       .withColumn("rn", row_number().over(Window.partitionBy("bk").orderBy("url")))
     val hotPairs = hot.as("a")
@@ -252,32 +257,45 @@ object ErPipeline {
     capPerRecord(deduped, cfg.maxCandidatesPerRecord, bothSides = true)
   }
 
-  /** Global 1-based rank of `url` within each `bk`, computed WITHOUT a
-    * whole-key window task: range-partition by (bk, url) so a giant key
-    * spans many contiguous partitions, rank locally within (partition,
-    * bk), then add per-(partition, key) offsets from a tiny count table
-    * (<= one row per key per partition it spans; its prefix-sum window is
-    * bounded by the partition count, never by the key's row count). Rank
-    * values are boundary-independent — ties are impossible (url is the
-    * record id, unique per key) — so the output is deterministic even
-    * though range boundaries come from sampling. Returns (input columns,
-    * rn, _pid); _pid is kept so callers/tests can observe the spread.
+  /** Distributed within-key running sum (prefix sum INCLUDING the current
+    * row), computed WITHOUT a whole-key window task: range-partition by
+    * (bk, orderCols) so a giant key spans many contiguous partitions,
+    * running-sum locally within (partition, bk), then add per-(partition,
+    * key) offsets from a tiny totals table (<= one row per key per
+    * partition it spans; its prefix-sum window is bounded by the
+    * partition count, never by the key's row count). Values are
+    * boundary-independent — the order columns are unique per key — so the
+    * output is deterministic even though range boundaries come from
+    * sampling. Returns (input columns, `out`, _pid); _pid is kept so
+    * callers/tests can observe the spread.
     */
-  private[graft] def rankWithinBlocks(rows: DataFrame): DataFrame = {
-    val parted = rows.repartitionByRange(col("bk"), col("url"))
+  private[graft] def prefixSumWithinBlocks(
+      rows: DataFrame, orderCols: Seq[String],
+      weight: Column, out: String): DataFrame = {
+    val parted = rows
+      .repartitionByRange((col("bk") +: orderCols.map(col)): _*)
       .withColumn("_pid", spark_partition_id())
-    val lw = Window.partitionBy("_pid", "bk").orderBy("url")
-    val local = parted.withColumn("_lrn", row_number().over(lw))
-    val counts = local.groupBy("_pid", "bk").agg(count(lit(1)).as("_c"))
+      .withColumn("_w", weight.cast("long"))
+    val lw = Window.partitionBy("_pid", "bk").orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_ls", sum(col("_w")).over(lw))
+    val totals = local.groupBy("_pid", "bk").agg(sum("_w").as("_c"))
     val ow = Window.partitionBy("bk").orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
+    val offsets = totals
       .withColumn("_off", coalesce(sum("_c").over(ow), lit(0L)))
       .select(col("_pid"), col("bk"), col("_off"))
     local.join(offsets, Seq("_pid", "bk"))
-      .withColumn("rn", col("_lrn") + col("_off"))
-      .drop("_lrn", "_off")
+      .withColumn(out, col("_ls") + col("_off"))
+      .drop("_ls", "_off", "_w")
   }
+
+  /** Global 1-based rank of `url` within each `bk` — the weight-1
+    * specialization of prefixSumWithinBlocks (url is unique per key, so
+    * the running count IS the rank).
+    */
+  private[graft] def rankWithinBlocks(rows: DataFrame): DataFrame =
+    prefixSumWithinBlocks(rows, Seq("url"), lit(1L), "rn")
 
   /** n_closest-style cap (I4/O4): keep each record's strongest pairs —
     * most shared blocking keys first, url tiebreak. With bothSides, the
@@ -309,44 +327,61 @@ object ErPipeline {
     val src = sourceSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url1"))
     val sea = searchSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url2"))
     // Hot-block bound, mirroring the unpooled path: one hot soundex key
-    // must never go |src-block| x |search-block|. Search-block sizes come
-    // from a partial agg (map-side combine) joined back; blocks whose
-    // SEARCH side exceeds maxBlock switch from the full bipartite join to
-    // a neighborhood probe — each source record pairs with the 2*hotWindow
-    // search members nearest its own url position, so hot pair volume is
+    // must never go |src-block| x |search-block|. Only the HOT search
+    // keys (count > maxBlock — the small low-precision population) are
+    // aggregated; both pools route through anti/semi joins against that
+    // small table (AQE broadcasts it), so the exploded key tables are
+    // never joined against a full-size count table (the r3 lesson).
+    // Hot blocks switch from the full bipartite join to a neighborhood
+    // probe — each source record pairs with the 2*hotWindow search
+    // members nearest its own url position, so hot pair volume is
     // O(|src-block| x window) (the reference caps pooled ANN lookups with
     // n_closest BEFORE materializing candidates, run_search.py:148-150).
-    val seaN = sea.groupBy("bk").agg(count(lit(1)).as("sea_n"))
-    val srcS = src.join(seaN, Seq("bk"))
-    val seaS = sea.join(seaN, Seq("bk"))
+    val hotSea = sea.groupBy("bk").agg(count(lit(1)).as("sea_n"))
+      .filter(col("sea_n") > cfg.maxBlock)
 
-    val coldPairs = srcS.filter(col("sea_n") <= cfg.maxBlock)
-      .join(seaS.filter(col("sea_n") <= cfg.maxBlock).drop("sea_n"), Seq("bk"))
+    val coldPairs = src.join(hotSea.select("bk"), Seq("bk"), "left_anti")
+      .join(sea.join(hotSea.select("bk"), Seq("bk"), "left_anti"), Seq("bk"))
 
     // merged url-ordered stream per hot block (search rows sort before a
     // source row with the same url): one running sum gives BOTH the
     // search row's 1-based rank among search rows and the source row's
     // insertion position, so the probe is a plain (bk, rank) equi join —
-    // no bipartite join on the hot key ever happens.
+    // no bipartite join on the hot key ever happens. Blocks up to
+    // hotRankCap compute the running sum in one window; bigger blocks go
+    // through the distributed prefix sum (same values, no whole-key
+    // task) — mirroring the unpooled giant-block routing.
+    def probePairs(ranked: DataFrame): DataFrame = {
+      val seaIdx = ranked.filter(col("side") === 0)
+        .select(col("bk"), col("u").as("url2"), col("pos").as("rn"))
+      val srcProbe = ranked.filter(col("side") === 1)
+        .select(col("bk"), col("u").as("url1"),
+          explode(sequence(
+            greatest(lit(1L), col("pos") - cfg.hotWindow + 1),
+            col("pos") + cfg.hotWindow)).as("rn"))
+      srcProbe.join(seaIdx, Seq("bk", "rn"))
+        .select(col("bk"), col("url1"), col("url2"))
+    }
+    def merged(lo: Long, hi: Long): DataFrame = {
+      val band = hotSea.filter(col("sea_n") > lo && col("sea_n") <= hi).select("bk")
+      sea.join(band, Seq("bk"), "left_semi")
+        .select(col("bk"), col("url2").as("u"), lit(0).as("side"))
+        .unionByName(src.join(band, Seq("bk"), "left_semi")
+          .select(col("bk"), col("url1").as("u"), lit(1).as("side")))
+    }
     val mw = Window.partitionBy("bk").orderBy(col("u"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = seaS.filter(col("sea_n") > cfg.maxBlock)
-      .select(col("bk"), col("url2").as("u"), lit(0).as("side"))
-      .unionByName(srcS.filter(col("sea_n") > cfg.maxBlock)
-        .select(col("bk"), col("url1").as("u"), lit(1).as("side")))
-      .withColumn("pos", sum(lit(1) - col("side")).over(mw))
-    val seaIdx = ranked.filter(col("side") === 0)
-      .select(col("bk"), col("u").as("url2"), col("pos").as("rn"))
-    val srcProbe = ranked.filter(col("side") === 1)
-      .select(col("bk"), col("u").as("url1"),
-        explode(sequence(
-          greatest(lit(1L), col("pos") - cfg.hotWindow + 1),
-          col("pos") + cfg.hotWindow)).as("rn"))
-    val hotPairs = srcProbe.join(seaIdx, Seq("bk", "rn"))
-      .select(col("bk"), col("url1"), col("url2"))
+    val hotPairs = probePairs(
+      merged(cfg.maxBlock, cfg.hotRankCap)
+        .withColumn("pos", sum(lit(1L) - col("side")).over(mw)))
+    val giantPairs = probePairs(
+      prefixSumWithinBlocks(
+        merged(math.max(cfg.maxBlock.toLong, cfg.hotRankCap.toLong), Long.MaxValue),
+        Seq("u", "side"), lit(1L) - col("side"), "pos"))
 
     val deduped = coldPairs.select(col("bk"), col("url1"), col("url2"))
       .unionByName(hotPairs)
+      .unionByName(giantPairs)
       .filter(col("url1") =!= col("url2"))
       .groupBy("url1", "url2")
       .agg(min("bk").as("block_key"), count(lit(1)).as("_n_keys"))
@@ -650,9 +685,13 @@ object ErPipeline {
       .join(staleUrls.withColumnRenamed("url", "url1"), Seq("url1"), "left_anti")
       .join(staleUrls.withColumnRenamed("url", "url2"), Seq("url2"), "left_anti")
       .cache()
-    // to score: every current candidate not covered by a reusable score
+    // to score: every current candidate not covered by a reusable score.
+    // Cached: rescoring, the affected-node set (twice), and
+    // Result.candidates all consume it — uncached, each would re-run the
+    // whole scoped candidate DAG.
     val toScore = allCands
       .join(reused.select("url1", "url2"), Seq("url1", "url2"), "left_anti")
+      .cache()
     val rescored = scorePairs(toScore, mergedSigs, cfg)
 
     val mergedScored = reused

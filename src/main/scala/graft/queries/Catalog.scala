@@ -22,6 +22,28 @@ object Catalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** App-scoped staged artifacts (bucketed tables, ANN index roots) carry
+    * the application id in their paths so concurrent drivers never race —
+    * but a fresh app means fresh names, so without cleanup every run
+    * would permanently leak its staging into the warehouse dir and
+    * java.io.tmpdir. One JVM shutdown hook sweeps everything this app
+    * registered (catalog entries are in-memory and die with the JVM
+    * anyway).
+    */
+  private val cleanupPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      cleanupPaths.forEach(p =>
+        try graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(p))
+        catch { case _: Throwable => () })
+    }, "graft-staged-artifact-sweep"))
+    true
+  }
+  private def registerCleanup(path: String): Unit = {
+    require(cleanupHookInstalled)
+    cleanupPaths.add(path)
+  }
+
   // ---------------------------------------------------------------------
   // Relational core (SURVEY.md par.2.1-2.7)
   // ---------------------------------------------------------------------
@@ -103,6 +125,10 @@ object Catalog {
       t(s, dir, "customer").select("c_custkey", "c_mktsegment")
         .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(bc)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:").stripPrefix("//")
+      Seq(bo, bc).foreach(n =>
+        registerCleanup(java.nio.file.Paths.get(wh, n.toLowerCase).toString))
     }
     s.table(bo).hint("merge")
       .join(s.table(bc), col("o_custkey") === col("c_custkey"))
@@ -994,6 +1020,7 @@ object Catalog {
     val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val sfName = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${appId}_$sfName"
+    registerCleanup(root)
     val idx = graft.operators.AnnIndex.buildIvf(s, root, e, "vec_id", "embedding",
       cells = 16)
     val approx = graft.operators.AnnIndex.ivfTopK(

@@ -297,6 +297,49 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeAviFrames(forged))
   }
 
+  test("decompression bombs fail validation before the raster allocates") {
+    // forge a valid PNG's IHDR to declare 30000x30000 (under the per-axis
+    // cap, ~9e8 pixels over the budget) with a correct CRC — the header
+    // probe must refuse before reader.read() allocates ~3.6 GB
+    val png = Multimodal.syntheticPng(1L)
+    val forged = png.clone()
+    val bb = java.nio.ByteBuffer.wrap(forged) // PNG ints are big-endian
+    bb.putInt(16, 30000)
+    bb.putInt(20, 30000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(forged, 12, 17) // "IHDR" + 13 data bytes
+    bb.putInt(29, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](Multimodal.decodeImage(forged))
+    assert(e.getMessage.contains("budget"), e.getMessage)
+    // AVI frame-count bomb: capped dims but frames*w*h over the total
+    // budget must refuse at the avih header, before any frame decode
+    val avi = Multimodal.syntheticAvi(3L)
+    val fb = java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fb.putInt(12 + 12 + 8 + 16, Int.MaxValue) // avih dwTotalFrames
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeAviFrames(avi))
+    assert(e2.getMessage.contains("budget"), e2.getMessage)
+  }
+
+  test("malformed AVI structures are validation errors, not crashes") {
+    def le32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // size-0 LIST at buffer end: must be a loud require, not an
+    // out-of-bounds read of the missing kind bytes
+    val tinyList = cc("RIFF") ++ le32(12) ++ cc("AVI ") ++ cc("LIST") ++ le32(0)
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeAviFrames(tinyList))
+    assert(e1.getMessage.contains("LIST"), e1.getMessage)
+    // deeply self-nested LISTs: must hit the depth bound, not the stack
+    var body = cc("LIST") ++ le32(4) ++ cc("hdrl")
+    (0 until 8).foreach { _ =>
+      body = cc("LIST") ++ le32(4 + body.length) ++ cc("hdrl") ++ body
+    }
+    val nested = cc("RIFF") ++ le32(4 + body.length) ++ cc("AVI ") ++ body
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeAviFrames(nested))
+    assert(e2.getMessage.contains("nesting"), e2.getMessage)
+  }
+
   test("synthetic AVI frame-sampled stats match their closed forms") {
     val ids = Seq(0L, 7L, 12L, 123L, 255L)
     val df = ids.map(id => (id, Multimodal.syntheticAvi(id))).toDF("doc_id", "payload")

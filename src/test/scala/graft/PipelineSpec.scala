@@ -191,6 +191,26 @@ class PipelineSpec extends SparkSpec {
     assert(viaGiant.nonEmpty)
   }
 
+  test("pooled giant-block probe emits identical pairs to the pooled window path") {
+    import spark.implicits._
+    // one hot key whose search side exceeds a tiny hotRankCap
+    val srcSigs = (0 until 30)
+      .map(i => (f"src://$i%04d", Seq("hot"))).toDF("url", "block_keys")
+    val seaSigs = (0 until 300)
+      .map(i => (f"sea://$i%04d", Seq("hot"))).toDF("url", "block_keys")
+    val small = ErPipeline.Config(maxBlock = 10, hotWindow = 4, hotRankCap = 50)
+    val big = small.copy(hotRankCap = Int.MaxValue)
+    val viaGiant = ErPipeline.candidatesPooled(srcSigs, seaSigs, small)
+      .select("url1", "url2", "block_key").collect().map(_.toSeq).toSet
+    val viaWindow = ErPipeline.candidatesPooled(srcSigs, seaSigs, big)
+      .select("url1", "url2", "block_key").collect().map(_.toSeq).toSet
+    assert(viaGiant === viaWindow,
+      s"missing=${(viaWindow -- viaGiant).take(3)} extra=${(viaGiant -- viaWindow).take(3)}")
+    assert(viaGiant.nonEmpty)
+    // still bounded: every source probes <= 2*hotWindow search neighbors
+    assert(viaGiant.size <= 30 * 2 * small.hotWindow)
+  }
+
   test("incremental staleRows picks exactly new/updated urls (I1)") {
     import spark.implicits._
     val prior = pages.select(col("url"), col("warc_ts")).limit(900)
