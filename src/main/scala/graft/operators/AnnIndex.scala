@@ -71,30 +71,42 @@ object AnnIndex {
       qId: String, embCol: String, k: Int, nProbe: Int = 4): DataFrame =
     Ann.ivfProbe(queries, qId, embCol, index.centroids, index.corpusCells, k, nProbe)
 
+  /** A persisted RHP bucket table TOGETHER with the (bits, tables) that
+    * keyed it. Query-side hashing must use exactly the build-time params
+    * (different params hash with different hyperplanes, so collisions —
+    * and therefore recall — silently collapse to ~zero); carrying them in
+    * the index value makes a mismatch unrepresentable: the only way to
+    * obtain an LshIndex is through buildLshBuckets, whose stage
+    * fingerprint includes the params, so a different-params build resumes
+    * a DIFFERENT stage rather than reinterpreting this one.
+    */
+  final case class LshIndex(buckets: DataFrame, bits: Int, tables: Int)
+
   /** Build (or resume) the exploded (neighbor_id, bucket) RHP key table
     * for LSH search (one row per table per vector).
     */
   def buildLshBuckets(
       spark: SparkSession, root: String, corpus: DataFrame,
       cId: String, embCol: String,
-      bits: Int = 8, tables: Int = 4): DataFrame =
-    StageStore.runStage(
-      spark, root, "lsh_buckets", Version,
-      corpusFingerprint(corpus, cId, embCol),
-      Map("bits" -> bits.toString, "tables" -> tables.toString)) {
-      Ann.rhpBuckets(corpus, cId, "neighbor_id", embCol, bits, tables)
-    }
+      bits: Int = 8, tables: Int = 4): LshIndex =
+    LshIndex(
+      StageStore.runStage(
+        spark, root, "lsh_buckets", Version,
+        corpusFingerprint(corpus, cId, embCol),
+        Map("bits" -> bits.toString, "tables" -> tables.toString)) {
+        Ann.rhpBuckets(corpus, cId, "neighbor_id", embCol, bits, tables)
+      }, bits, tables)
 
-  /** LSH top-k over a persisted bucket table (queries keyed on the fly —
+  /** LSH top-k over a persisted bucket index (queries keyed on the fly —
     * they are the small ad-hoc side; `corpus` supplies the exact vectors
-    * for the re-rank joins).
+    * for the re-rank joins). Query keys are hashed with the INDEX's
+    * params — there is no caller-supplied bits/tables to get wrong.
     */
   def lshTopK(
-      queries: DataFrame, corpusBuckets: DataFrame, corpus: DataFrame,
-      qId: String, cId: String, embCol: String, k: Int,
-      bits: Int = 8, tables: Int = 4): DataFrame =
-    Ann.lshTopKWithBuckets(queries, corpusBuckets, corpus,
-      qId, cId, embCol, k, bits, tables)
+      queries: DataFrame, index: LshIndex, corpus: DataFrame,
+      qId: String, cId: String, embCol: String, k: Int): DataFrame =
+    Ann.lshTopKWithBuckets(queries, index.buckets, corpus,
+      qId, cId, embCol, k, index.bits, index.tables)
 
   /** Build (or resume) the int8-quantized vector table (id, q, scale) —
     * the 4x-smaller storage/shuffle representation (Ann.quantize).

@@ -279,20 +279,26 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"undecodable image payload (${payload.length} bytes)")
-    val reader = readers.next()
+    // iis must close on EVERY exit — including the no-reader refusal.
+    // Under ImageIO's default file cache each stream holds an open temp
+    // file, so a partition of corrupt payloads that threw before a
+    // try/finally would bleed file descriptors until finalization.
     try {
-      reader.setInput(iis, true)
-      val w = reader.getWidth(0); val h = reader.getHeight(0)
-      require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
-        s"image dims over cap: ${w}x$h (max $MaxDim)")
-      require(w.toLong * h <= MaxPixels,
-        s"image pixel count ${w.toLong * h} over budget $MaxPixels")
-      val img = reader.read(0, null)
-      require(img != null, s"undecodable image payload (${payload.length} bytes)")
-      img
-    } finally { reader.dispose(); iis.close() }
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"undecodable image payload (${payload.length} bytes)")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
+          s"image dims over cap: ${w}x$h (max $MaxDim)")
+        require(w.toLong * h <= MaxPixels,
+          s"image pixel count ${w.toLong * h} over budget $MaxPixels")
+        val img = reader.read(0, null)
+        require(img != null, s"undecodable image payload (${payload.length} bytes)")
+        img
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** Encode an RGB image as PNG; `px(x, y)` returns (r, g, b). PNG is
@@ -654,6 +660,11 @@ object Multimodal {
     val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
     walkAviChunks(payload) { (id, off, size) =>
       if (id == "avih") {
+        // exactly one avih: a crafted file interleaving several headers
+        // with frames would re-arm the total-pixel budget per header
+        // while `frames` keeps every previously decoded raster — the
+        // budget must be per-FILE.
+        require(declaredFrames < 0, "multiple avih headers")
         require(size >= 40, s"avih too small ($size bytes)")
         declaredFrames = b.getInt(off + 16)
         width = b.getInt(off + 32)

@@ -324,8 +324,15 @@ object ErPipeline {
     */
   def candidatesPooled(sourceSigs: DataFrame, searchSigs: DataFrame,
       cfg: Config = Config()): DataFrame = {
+    // Cached: up to five plan branches consume each exploded table (hot
+    // sizing, cold anti-join, band semi-joins); uncached, every branch
+    // would re-evaluate the caller's signature expressions over the
+    // whole pool (the same per-branch trap the unpooled path avoids by
+    // caching sigs in run()).
     val src = sourceSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url1"))
+      .cache()
     val sea = searchSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url2"))
+      .cache()
     // Hot-block bound, mirroring the unpooled path: one hot soundex key
     // must never go |src-block| x |search-block|. Only the HOT search
     // keys (count > maxBlock — the small low-precision population) are
@@ -337,8 +344,17 @@ object ErPipeline {
     // members nearest its own url position, so hot pair volume is
     // O(|src-block| x window) (the reference caps pooled ANN lookups with
     // n_closest BEFORE materializing candidates, run_search.py:148-150).
+    // The window/prefix-sum routing for hot keys bands on the MERGED
+    // stream size (search + source rows): a key with a modest search
+    // side but a giant source pool would otherwise put the whole merged
+    // stream into one window task — source counts are gathered only for
+    // the (few) hot keys, via a semi join against that small table.
     val hotSea = sea.groupBy("bk").agg(count(lit(1)).as("sea_n"))
       .filter(col("sea_n") > cfg.maxBlock)
+    val hotSrcN = src.join(hotSea.select("bk"), Seq("bk"), "left_semi")
+      .groupBy("bk").agg(count(lit(1)).as("src_n"))
+    val hotSizes = hotSea.join(hotSrcN, Seq("bk"), "left_outer")
+      .withColumn("tot_n", col("sea_n") + coalesce(col("src_n"), lit(0L)))
 
     val coldPairs = src.join(hotSea.select("bk"), Seq("bk"), "left_anti")
       .join(sea.join(hotSea.select("bk"), Seq("bk"), "left_anti"), Seq("bk"))
@@ -363,7 +379,7 @@ object ErPipeline {
         .select(col("bk"), col("url1"), col("url2"))
     }
     def merged(lo: Long, hi: Long): DataFrame = {
-      val band = hotSea.filter(col("sea_n") > lo && col("sea_n") <= hi).select("bk")
+      val band = hotSizes.filter(col("tot_n") > lo && col("tot_n") <= hi).select("bk")
       sea.join(band, Seq("bk"), "left_semi")
         .select(col("bk"), col("url2").as("u"), lit(0).as("side"))
         .unionByName(src.join(band, Seq("bk"), "left_semi")
@@ -372,11 +388,11 @@ object ErPipeline {
     val mw = Window.partitionBy("bk").orderBy(col("u"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hotPairs = probePairs(
-      merged(cfg.maxBlock, cfg.hotRankCap)
+      merged(0L, cfg.hotRankCap)
         .withColumn("pos", sum(lit(1L) - col("side")).over(mw)))
     val giantPairs = probePairs(
       prefixSumWithinBlocks(
-        merged(math.max(cfg.maxBlock.toLong, cfg.hotRankCap.toLong), Long.MaxValue),
+        merged(cfg.hotRankCap.toLong, Long.MaxValue),
         Seq("u", "side"), lit(1L) - col("side"), "pos"))
 
     val deduped = coldPairs.select(col("bk"), col("url1"), col("url2"))

@@ -44,6 +44,28 @@ object Catalog {
     cleanupPaths.add(path)
   }
 
+  /** The shutdown hook cannot fire on SIGKILL/OOM-kill, and a dead run's
+    * app-scoped names never match a later application id — so each
+    * registration also garbage-collects SIBLING artifacts of the same
+    * family (`prefix`) that are older than `StaleArtifactMs`. The age
+    * bound keeps this safe against concurrent live drivers: their
+    * artifacts were written minutes ago; only a crashed run's leftovers
+    * age past the bound.
+    */
+  private val StaleArtifactMs = 6L * 3600 * 1000
+  private def sweepStaleSiblings(parent: java.nio.file.Path, prefix: String): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - StaleArtifactMs
+      val stream = java.nio.file.Files.list(parent)
+      try stream.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith(prefix) &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          try graft.core.Fs.deleteRecursively(p)
+          catch { case _: Throwable => () }
+      } finally stream.close()
+    } catch { case _: java.io.IOException => () }
+
   // ---------------------------------------------------------------------
   // Relational core (SURVEY.md par.2.1-2.7)
   // ---------------------------------------------------------------------
@@ -129,6 +151,8 @@ object Catalog {
         .stripPrefix("file:").stripPrefix("//")
       Seq(bo, bc).foreach(n =>
         registerCleanup(java.nio.file.Paths.get(wh, n.toLowerCase).toString))
+      Seq("b_orders_", "b_customer_").foreach(p =>
+        sweepStaleSiblings(java.nio.file.Paths.get(wh), p))
     }
     s.table(bo).hint("merge")
       .join(s.table(bc), col("o_custkey") === col("c_custkey"))
@@ -1021,6 +1045,8 @@ object Catalog {
     val sfName = dir.replaceAll("[^A-Za-z0-9]", "_")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${appId}_$sfName"
     registerCleanup(root)
+    sweepStaleSiblings(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "graft_annidx_")
     val idx = graft.operators.AnnIndex.buildIvf(s, root, e, "vec_id", "embedding",
       cells = 16)
     val approx = graft.operators.AnnIndex.ivfTopK(

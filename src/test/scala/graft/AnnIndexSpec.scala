@@ -62,13 +62,16 @@ class AnnIndexSpec extends SparkSpec {
       val b2 = AnnIndex.buildLshBuckets(spark, root, emb, "vec_id", "embedding",
         bits = 4, tables = 8)
       assert(manifestMtime(root, "lsh_buckets") === t1, "bucket stage recomputed")
-      assert(b2.columns.toSeq === Seq("neighbor_id", "bucket"))
-      assert(b1.count() === emb.count() * 8)
+      assert(b2.buckets.columns.toSeq === Seq("neighbor_id", "bucket"))
+      assert(b1.buckets.count() === emb.count() * 8)
+      // the build params travel with the index — the query side cannot
+      // hash with mismatched (bits, tables)
+      assert((b2.bits, b2.tables) === ((4, 8)))
 
       val direct = Ann.lshTopK(queries, emb, "vec_id", "vec_id", "embedding", 5,
         bits = 4, tables = 8).collect().map(_.toSeq).toSet
-      val indexed = AnnIndex.lshTopK(queries, b2, emb, "vec_id", "vec_id", "embedding", 5,
-        bits = 4, tables = 8).collect().map(_.toSeq).toSet
+      val indexed = AnnIndex.lshTopK(queries, b2, emb, "vec_id", "vec_id", "embedding", 5)
+        .collect().map(_.toSeq).toSet
       assert(indexed === direct)
       assert(indexed.nonEmpty)
     } finally graft.core.Fs.deleteRecursively(Paths.get(root))

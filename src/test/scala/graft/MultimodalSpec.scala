@@ -338,6 +338,22 @@ class MultimodalSpec extends SparkSpec {
     val nested = cc("RIFF") ++ le32(4 + body.length) ++ cc("AVI ") ++ body
     val e2 = intercept[IllegalArgumentException](Multimodal.decodeAviFrames(nested))
     assert(e2.getMessage.contains("nesting"), e2.getMessage)
+    // a second avih must be refused: each extra header would re-arm the
+    // total-pixel budget while previously decoded rasters are retained
+    val avi = Multimodal.syntheticAvi(5L)
+    val hdrlEnd = {
+      // duplicate the whole file's hdrl avih chunk by appending a bare
+      // avih after the movi list at top level (walker visits both)
+      val b = java.nio.ByteBuffer.allocate(8 + 56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(cc("avih")); b.putInt(56); b.put(new Array[Byte](56)); b.array()
+    }
+    val doubled = avi ++ hdrlEnd
+    // patch the RIFF size to cover the appended chunk
+    val db = java.nio.ByteBuffer.wrap(doubled).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    db.putInt(4, doubled.length - 8)
+    val e3 = intercept[IllegalArgumentException](Multimodal.decodeAviFrames(doubled))
+    assert(e3.getMessage.contains("multiple avih"), e3.getMessage)
   }
 
   test("synthetic AVI frame-sampled stats match their closed forms") {

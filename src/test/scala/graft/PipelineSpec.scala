@@ -211,6 +211,27 @@ class PipelineSpec extends SparkSpec {
     assert(viaGiant.size <= 30 * 2 * small.hotWindow)
   }
 
+  test("pooled banding keys on the MERGED size: a giant SOURCE pool routes giant") {
+    import spark.implicits._
+    // search side is hot but modest (30 > maxBlock); the SOURCE side is
+    // what blows past hotRankCap — banding on sea_n alone would put the
+    // whole 330-row merged stream into one window task
+    val srcSigs = (0 until 300)
+      .map(i => (f"src://$i%04d", Seq("hot"))).toDF("url", "block_keys")
+    val seaSigs = (0 until 30)
+      .map(i => (f"sea://$i%04d", Seq("hot"))).toDF("url", "block_keys")
+    val small = ErPipeline.Config(maxBlock = 10, hotWindow = 4, hotRankCap = 50)
+    val big = small.copy(hotRankCap = Int.MaxValue)
+    val viaGiant = ErPipeline.candidatesPooled(srcSigs, seaSigs, small)
+      .select("url1", "url2", "block_key").collect().map(_.toSeq).toSet
+    val viaWindow = ErPipeline.candidatesPooled(srcSigs, seaSigs, big)
+      .select("url1", "url2", "block_key").collect().map(_.toSeq).toSet
+    assert(viaGiant === viaWindow,
+      s"missing=${(viaWindow -- viaGiant).take(3)} extra=${(viaGiant -- viaWindow).take(3)}")
+    assert(viaGiant.nonEmpty)
+    assert(viaGiant.size <= 300 * 2 * small.hotWindow)
+  }
+
   test("incremental staleRows picks exactly new/updated urls (I1)") {
     import spark.implicits._
     val prior = pages.select(col("url"), col("warc_ts")).limit(900)
