@@ -53,7 +53,7 @@ object Catalog {
     * age past the bound.
     */
   private val StaleArtifactMs = 6L * 3600 * 1000
-  private def sweepStaleSiblings(parent: java.nio.file.Path, prefix: String): Unit =
+  private[graft] def sweepStaleSiblings(parent: java.nio.file.Path, prefix: String): Unit =
     try {
       val cutoff = System.currentTimeMillis() - StaleArtifactMs
       val stream = java.nio.file.Files.list(parent)

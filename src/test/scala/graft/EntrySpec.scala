@@ -42,4 +42,27 @@ class EntrySpec extends SparkSpec {
     assert(clusters.select("cluster_id").distinct().count() === 1L,
       "identical records in a hot block must resolve to one entity")
   }
+
+  test("stale app-scoped artifacts are GC'd; fresh and unrelated ones survive") {
+    // A SIGKILLed run's staged artifacts never match a later appId, so
+    // staging sweeps same-family siblings older than the stale bound —
+    // and must NOT touch fresh siblings (concurrent live drivers) or
+    // other families.
+    import java.nio.file.{Files, Paths}
+    val parent = Files.createTempDirectory("graft_gc_spec")
+    try {
+      val stale = Files.createDirectory(parent.resolve("fam_dead_app"))
+      Files.write(stale.resolve("part-0"), Array[Byte](1, 2, 3))
+      val fresh = Files.createDirectory(parent.resolve("fam_live_app"))
+      val other = Files.createDirectory(parent.resolve("other_family"))
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7L * 3600 * 1000)
+      Files.setLastModifiedTime(stale, old)
+      Files.setLastModifiedTime(other, old)
+      graft.queries.Catalog.sweepStaleSiblings(parent, "fam_")
+      assert(!Files.exists(stale), "stale same-family artifact must be swept")
+      assert(Files.exists(fresh), "fresh sibling must survive (live driver)")
+      assert(Files.exists(other), "other families must never be touched")
+    } finally graft.core.Fs.deleteRecursively(parent)
+  }
 }

@@ -356,6 +356,54 @@ class MultimodalSpec extends SparkSpec {
     assert(e3.getMessage.contains("multiple avih"), e3.getMessage)
   }
 
+  test("decoder fuzz: random and bit-flipped payloads throw, never crash the JVM") {
+    // Untrusted-payload contract: every decoder either succeeds or throws
+    // an ordinary Exception (require/IIOException). An Error — OOM from
+    // an unbudgeted allocation, StackOverflow from unbounded recursion —
+    // or a hang is a decoder bug. Seeds are fixed: failures replay.
+    val rnd = new java.util.Random(20260817L)
+    def check(name: String, payload: Array[Byte])(decode: Array[Byte] => Any): Unit =
+      try { decode(payload); () }
+      catch {
+        case _: Exception => () // loud refusal is the contract
+        case e: Error =>
+          fail(s"$name: ${e.getClass.getSimpleName} on ${payload.length} bytes " +
+            s"(first 16: ${payload.take(16).map(b => f"$b%02x").mkString})")
+      }
+    val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+      ("bmp", Multimodal.decodeBmp(_)),
+      ("image", Multimodal.decodeImage(_)),
+      ("gif", Multimodal.decodeGifFrames(_)),
+      ("avi", Multimodal.decodeAviFrames(_)),
+      ("wav", Multimodal.decodeWav(_)))
+    // pure noise at assorted sizes
+    for (_ <- 0 until 40; (name, d) <- decoders) {
+      val blob = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(blob)
+      check(name, blob)(d)
+    }
+    // structured payloads with random byte flips: these get past the
+    // magic checks and into the interesting parsing paths
+    val seeds: Seq[(String, Array[Byte])] = Seq(
+      ("bmp", Multimodal.syntheticBmp(1L)),
+      ("image", Multimodal.syntheticPng(2L)),
+      ("gif", Multimodal.syntheticGif(3L)),
+      ("avi", Multimodal.syntheticAvi(4L)),
+      ("wav", Multimodal.syntheticWav(5L)))
+    val byName = decoders.toMap
+    for (_ <- 0 until 60; (name, base) <- seeds) {
+      val mutated = base.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      check(name, mutated)(byName(name))
+    }
+    // truncations of valid payloads
+    for ((name, base) <- seeds; frac <- Seq(1, base.length / 3, base.length - 1)) {
+      check(name, java.util.Arrays.copyOf(base, frac))(byName(name))
+    }
+  }
+
   test("synthetic AVI frame-sampled stats match their closed forms") {
     val ids = Seq(0L, 7L, 12L, 123L, 255L)
     val df = ids.map(id => (id, Multimodal.syntheticAvi(id))).toDF("doc_id", "payload")
