@@ -257,38 +257,15 @@ object ErPipeline {
     capPerRecord(deduped, cfg.maxCandidatesPerRecord, bothSides = true)
   }
 
-  /** Distributed within-key running sum (prefix sum INCLUDING the current
-    * row), computed WITHOUT a whole-key window task: range-partition by
-    * (bk, orderCols) so a giant key spans many contiguous partitions,
-    * running-sum locally within (partition, bk), then add per-(partition,
-    * key) offsets from a tiny totals table (<= one row per key per
-    * partition it spans; its prefix-sum window is bounded by the
-    * partition count, never by the key's row count). Values are
-    * boundary-independent — the order columns are unique per key — so the
-    * output is deterministic even though range boundaries come from
-    * sampling. Returns (input columns, `out`, _pid); _pid is kept so
-    * callers/tests can observe the spread.
+  /** Distributed within-key running sum over block keys — the shared
+    * scale-safe kernel lives in [[graft.operators.PrefixSum]] (no
+    * whole-key window task; see its doc). Returns (input columns, `out`,
+    * _pid); _pid is kept so callers/tests can observe the spread.
     */
   private[graft] def prefixSumWithinBlocks(
       rows: DataFrame, orderCols: Seq[String],
-      weight: Column, out: String): DataFrame = {
-    val parted = rows
-      .repartitionByRange((col("bk") +: orderCols.map(col)): _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_w", weight.cast("long"))
-    val lw = Window.partitionBy("_pid", "bk").orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("_ls", sum(col("_w")).over(lw))
-    val totals = local.groupBy("_pid", "bk").agg(sum("_w").as("_c"))
-    val ow = Window.partitionBy("bk").orderBy("_pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("_off", coalesce(sum("_c").over(ow), lit(0L)))
-      .select(col("_pid"), col("bk"), col("_off"))
-    local.join(offsets, Seq("_pid", "bk"))
-      .withColumn(out, col("_ls") + col("_off"))
-      .drop("_ls", "_off", "_w")
-  }
+      weight: Column, out: String): DataFrame =
+    graft.operators.PrefixSum.withinKeys(rows, Seq("bk"), orderCols, weight, out)
 
   /** Global 1-based rank of `url` within each `bk` — the weight-1
     * specialization of prefixSumWithinBlocks (url is unique per key, so

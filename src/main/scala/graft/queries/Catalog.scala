@@ -1274,6 +1274,134 @@ object Catalog {
       |  md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
 
+  /** Deterministic data-mixture sampling: per-language keep quotas
+    * applied as an md5-hex cutoff on the document id. No RNG state — the
+    * same row is kept on every run, every engine, every cluster size,
+    * which is what makes a 100-TB mixture reproducible, resumable, and
+    * auditable. The quota table is tiny and broadcast; the corpus side is
+    * a pure map-side filter with zero shuffle.
+    */
+  val textMixtureSample: Q = (s, dir) => {
+    import s.implicits._
+    val quotas = Seq(
+      ("en", "ff"), ("zh", "7f"), ("es", "7f"), ("de", "3f"), ("fr", "3f"))
+      .toDF("lang", "cutoff")
+    t(s, dir, "documents")
+      .join(broadcast(quotas), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          <= col("cutoff")).as("kept"))
+  }
+
+  val textMixtureSampleSql: String =
+    """WITH w(lang, cutoff) AS (
+      |  VALUES ('en','ff'),('zh','7f'),('es','7f'),('de','3f'),('fr','3f'))
+      |SELECT d.doc_id, d.lang, d.source,
+      |  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <= w.cutoff AS kept
+      |FROM documents d JOIN w ON d.lang = w.lang""".stripMargin
+
+  /** Benchmark decontamination: flag documents sharing any 8-word n-gram
+    * with a held-out eval set. The eval set is derived deterministically
+    * (one phrase from every 97th document) and a fixed eval phrase is
+    * planted into every 31st document — like the PII query, the planting
+    * makes the oracle verify ACTUAL cross-document matching, not just
+    * each eval doc matching itself. N-grams are md5-hashed before the
+    * join so the shuffle/broadcast carries 32-byte keys, not full
+    * phrases; the eval side is tiny by construction (benchmarks are KBs,
+    * corpora are TBs) and broadcasts, so the corpus n-gram stream is
+    * never shuffled — the only corpus-keyed exchange is the per-doc hit
+    * count.
+    */
+  val textDecontaminate: Q = (s, dir) => {
+    val marker = "benchmark heldout eval secret phrase alpha beta gamma"
+    val planted = concat(
+      Normalize.emptyIfNull(col("text")),
+      when(col("doc_id") % 31 === 0, lit(" " + marker)).otherwise(lit("")))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.words(planted).as("ws"))
+    val evalSet = base
+      .filter(col("doc_id") % 97 === 0 && size(col("ws")) >= 10)
+      .select(md5(array_join(slice(col("ws"), 3, 8), " ").cast("binary")).as("g"))
+      .union(base.sparkSession.range(1)
+        .select(md5(lit(marker).cast("binary")).as("g")))
+      .distinct()
+    val ngrams = base
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("ws")) - 7),
+          i => md5(array_join(slice(col("ws"), i, lit(8)), " ").cast("binary"))))
+          .as("g"))
+    val hits = ngrams.join(broadcast(evalSet), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  val textDecontaminateSql: String =
+    """WITH pl AS (
+      |  SELECT doc_id, coalesce(text, '') ||
+      |    CASE WHEN doc_id % 31 = 0
+      |      THEN ' benchmark heldout eval secret phrase alpha beta gamma'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |c AS (SELECT doc_id, trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS canon FROM pl),
+      |w AS (SELECT doc_id, string_split(canon, ' ') AS ws FROM c WHERE canon <> ''),
+      |ev AS (
+      |  SELECT DISTINCT g FROM (
+      |    SELECT md5(array_to_string(ws[3:10], ' ')) AS g
+      |    FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 10
+      |    UNION ALL
+      |    SELECT md5('benchmark heldout eval secret phrase alpha beta gamma'))),
+      |ng AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws) - 7),
+      |      i -> md5(array_to_string(ws[i:i+7], ' ')))) AS g
+      |  FROM w WHERE len(ws) >= 8),
+      |hits AS (SELECT ng.doc_id, count(*) AS n_hits FROM ng JOIN ev ON ng.g = ev.g GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+      |  coalesce(h.n_hits, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
+
+  /** GPT-style sequence packing: each source's documents are concatenated
+    * in doc order and chopped into 256-token context windows (documents
+    * cross bin boundaries — zero padding waste). The placement is one
+    * distributed prefix sum per source stream (operators.SeqPack /
+    * PrefixSum — no whole-stream window task even when one crawl
+    * dominates the corpus) plus map-side arithmetic.
+    */
+  val textPackSequences: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.wordCountOf(TextAnalysis.words(col("text")))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    graft.operators.SeqPack.pack(docs, "source", "doc_id", "n_tokens", 256)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_off"), col("bin_first"), col("bin_last"))
+  }
+
+  val textPackSequencesSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, CAST(len(string_split(canon, ' ')) AS BIGINT) AS n_tokens
+      |  FROM c WHERE canon <> ''),
+      |o AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM w)
+      |SELECT doc_id, source, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+      |  CAST(start_off // 256 AS BIGINT) AS bin_first,
+      |  CAST((start_off + n_tokens - 1) // 256 AS BIGINT) AS bin_last
+      |FROM o""".stripMargin
+
   // ---------------------------------------------------------------------
   // Multimodal: opaque binary columns, real decoders for every kind
   // ---------------------------------------------------------------------
@@ -1572,6 +1700,9 @@ object Catalog {
     "text_repetition" -> textRepetition,
     "text_chunks" -> textChunks,
     "text_fingerprint" -> textFingerprint,
+    "text_mixture_sample" -> textMixtureSample,
+    "text_decontaminate" -> textDecontaminate,
+    "text_pack_sequences" -> textPackSequences,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
@@ -1630,6 +1761,9 @@ object Catalog {
     "text_repetition" -> textRepetitionSql,
     "text_chunks" -> textChunksSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_mixture_sample" -> textMixtureSampleSql,
+    "text_decontaminate" -> textDecontaminateSql,
+    "text_pack_sequences" -> textPackSequencesSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,

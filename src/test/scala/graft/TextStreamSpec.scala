@@ -239,4 +239,89 @@ class TextStreamSpec extends SparkSpec {
     val events = spark.read.parquet(path).count()
     assert(sessions.agg(sum("n_events")).head().getLong(0) === events)
   }
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_textops").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("mixture sampling: deterministic md5-hex cutoff per language quota") {
+    // md5("1") = c4ca..., md5("2") = c81e..., md5("3") = eccb..., md5("4") = a87f...
+    val tmp = writeDocs(Seq(
+      (1L, "a", "en", "s1"), (2L, "b", "de", "s1"),
+      (3L, "c", "en", "s2"), (4L, "d", "de", "s2")))
+    val run = () => graft.queries.Catalog.queries("text_mixture_sample")(spark, tmp)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+    val got = run()
+    // en cutoff 'ff' keeps everything; de cutoff '3f': c8 > 3f drops, a8 > 3f drops
+    assert(got === Seq((1L, true), (2L, false), (3L, true), (4L, false)))
+    assert(run() === got) // no RNG state: identical on re-run
+  }
+
+  test("decontamination flags planted, derived, and self overlaps only") {
+    val evalWords = (1 to 12).map(i => s"e$i").mkString(" ") // doc 97: eval doc
+    // doc 5 copies doc 97's words 3..10 contiguously -> derived-phrase hit
+    val copied = "x y " + (3 to 10).map(i => s"e$i").mkString(" ") + " z"
+    val tmp = writeDocs(Seq(
+      (97L, evalWords, "en", "s1"),
+      (5L, copied, "en", "s1"),
+      (31L, "just ordinary words here nothing shared at all", "en", "s1"),
+      (2L, "completely clean document with its own eight plus words", "en", "s1")))
+    val got = graft.queries.Catalog.queries("text_decontaminate")(spark, tmp)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // 31 is contaminated via the planted marker phrase; 97 matches itself;
+    // 5 matches the phrase derived from 97; 2 stays clean
+    assert(got === Seq(
+      (2L, 0L, false), (5L, 1L, true), (31L, 1L, true), (97L, 1L, true)))
+  }
+
+  test("sequence packing: exact offsets, docs cross bin boundaries") {
+    import graft.operators.SeqPack
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 30L),
+      (9L, "b", 300L)).toDF("doc_id", "source", "n_tokens")
+    val got = SeqPack.pack(docs, "source", "doc_id", "n_tokens", 256)
+      .select("doc_id", "start_off", "bin_first", "bin_last")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 0L),     // tokens [0,100)
+      (2L, 100L, 0L, 1L),   // tokens [100,300) cross the 256 boundary
+      (3L, 300L, 1L, 1L),   // tokens [300,330)
+      (9L, 0L, 0L, 1L)))    // stream b starts fresh at offset 0
+  }
+
+  test("prefix sum spreads one hot key across tasks with a correct total") {
+    import graft.operators.PrefixSum
+    // AQE sizes range partitions by BYTES and would legitimately coalesce
+    // a few-MB test key to one partition (a real 10^8-row stream would
+    // not) — shrink the advisory size so the test observes the multi-task
+    // split real scale would produce (same trick as PipelineSpec's
+    // giant-block rank test).
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      keys.foreach(k => spark.conf.set(k, "64k"))
+      val n = 100000
+      val rows = spark.range(1, n + 1)
+        .select(lpad(col("id").cast("string"), 16, "0").as("ord"))
+        .withColumn("k", lit("hot")).withColumn("w", lit(1L))
+      val out = PrefixSum.withinKeys(
+        rows.repartition(8), Seq("k"), Seq("ord"), $"w", "cum")
+      val agg = out.agg(
+        max("cum").as("mx"),
+        countDistinct("_pid").as("pids"),
+        countDistinct("cum").as("dcum")).head()
+      assert(agg.getLong(0) === n.toLong) // running sum reaches the total
+      assert(agg.getLong(2) === n.toLong) // all prefix values distinct (no gaps/dupes)
+      assert(agg.getLong(1) > 1L)         // the hot key spans multiple partitions
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
