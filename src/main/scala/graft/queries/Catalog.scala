@@ -1402,6 +1402,118 @@ object Catalog {
       |  CAST((start_off + n_tokens - 1) // 256 AS BIGINT) AS bin_last
       |FROM o""".stripMargin
 
+  /** TF-IDF term weighting over the corpus: per-(doc, term) frequency,
+    * corpus document frequency, and tf * ln(N/df). The classic
+    * shuffle-heavy corpus statistic: one explode (fan-out bounded by doc
+    * length), one (doc_id, term)-keyed partial agg for TF, one
+    * term-keyed partial agg for DF. The DF side is vocabulary-sized —
+    * orders of magnitude below the corpus — so AQE broadcasts it at any
+    * realistic vocab size; if a vocabulary ever outgrew broadcast the
+    * join stays a skew-aware shuffle (stopword terms are the skewed
+    * keys, and AQE skew-join splits them). The corpus row count is one
+    * metadata-cheap aggregate, computed once per invocation, not a data
+    * collect.
+    */
+  val textTfidf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
+  }
+
+  val textTfidfSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(string_split(canon, ' ')) AS term FROM c WHERE canon <> ''),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+      |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |  round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+      |FROM tf JOIN df USING (term), n""".stripMargin
+
+  /** Quality-weighted deterministic resampling (the DCLM/FineWeb shape):
+    * each document is kept with probability equal to its quality score,
+    * but the coin flip is a pure function of the doc id — a 24-bit
+    * uniform from the id's md5 compared against the score's hex cutoff —
+    * so the kept set is byte-identical on every run, engine, and cluster
+    * size, and a resumed 100-TB pass re-derives exactly the same sample
+    * with zero sampling state. Map-side only: no shuffle, no RNG.
+    * Fixed-width lowercase-hex string compare == numeric compare, so
+    * both engines decide from the same two hex strings.
+    */
+  val textQualitySample: Q = (s, dir) => {
+    val q = TextAnalysis.qualityScore(col("text"))
+    val u6 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
+    val cutoff = format_string(
+      "%06x", floor(q * lit(16777216.0)).cast("int"))
+    t(s, dir, "documents").select(
+      col("doc_id"), q.as("quality"), u6.as("u6"),
+      (q >= 1.0 || u6 < cutoff).as("kept"))
+  }
+
+  val textQualitySampleSql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    """WITH c AS (
+      |  SELECT doc_id, coalesce(text, '') AS raw,
+      |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, raw,
+      |    CASE WHEN length(canon) = 0 THEN 0 ELSE len(string_split(canon, ' ')) END AS wc,
+      |    string_split(canon, ' ') AS ws
+      |  FROM c),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(0.4 * least(CAST(wc AS DOUBLE) / 100.0, 1.0)
+      |      + 0.3 * least((CASE WHEN wc = 0 THEN 0.0
+      |          ELSE CAST(len(list_filter(ws, x -> x IN (STOPS))) AS DOUBLE) / wc END) * 5.0, 1.0)
+      |      + 0.3 * greatest(1.0 - (CASE WHEN length(raw) = 0 THEN 0.0
+      |          ELSE CAST(length(raw) - length(regexp_replace(raw, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(raw) END) * 4.0, 0.0), 4) AS quality,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS u6
+      |  FROM f)
+      |SELECT doc_id, quality, u6,
+      |  quality >= 1.0 OR u6 < printf('%06x', CAST(floor(quality * 16777216.0) AS INT)) AS kept
+      |FROM q""".stripMargin.replace("STOPS", stops)
+  }
+
+  /** Deterministic training-order shard plan: a global pseudo-random
+    * permutation of the corpus (order by the id's md5) cut into shards,
+    * with each document's 1-based position inside its shard. Training at
+    * 100 TB needs exactly this — a reproducible shuffle each worker can
+    * re-derive — and a shard there holds billions of documents, so the
+    * within-shard rank goes through the distributed prefix-sum kernel
+    * (operators.PrefixSum): no task ever owns a whole shard, unlike a
+    * row_number window partitioned by shard.
+    */
+  val textShardPlan: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+    graft.operators.PrefixSum
+      .withinKeys(docs, Seq("shard"), Seq("h", "doc_id"), lit(1L), "ord")
+      .select(col("doc_id"), col("shard"), col("ord"))
+  }
+
+  val textShardPlanSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS ord
+      |FROM h""".stripMargin
+
   // ---------------------------------------------------------------------
   // Multimodal: opaque binary columns, real decoders for every kind
   // ---------------------------------------------------------------------
@@ -1703,6 +1815,9 @@ object Catalog {
     "text_mixture_sample" -> textMixtureSample,
     "text_decontaminate" -> textDecontaminate,
     "text_pack_sequences" -> textPackSequences,
+    "text_tfidf" -> textTfidf,
+    "text_quality_sample" -> textQualitySample,
+    "text_shard_plan" -> textShardPlan,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
@@ -1764,6 +1879,9 @@ object Catalog {
     "text_mixture_sample" -> textMixtureSampleSql,
     "text_decontaminate" -> textDecontaminateSql,
     "text_pack_sequences" -> textPackSequencesSql,
+    "text_tfidf" -> textTfidfSql,
+    "text_quality_sample" -> textQualitySampleSql,
+    "text_shard_plan" -> textShardPlanSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,

@@ -294,6 +294,68 @@ class TextStreamSpec extends SparkSpec {
       (9L, 0L, 0L, 1L)))    // stream b starts fresh at offset 0
   }
 
+  test("tfidf: exact tf/df/weights on a hand-computed corpus") {
+    // Corpus N=3: "the" in all 3 docs (idf ln(1)=0), "data" in 2
+    // (ln(1.5)), "vector" in doc 1 only, twice (2*ln(3)).
+    val tmp = writeDocs(Seq(
+      (1L, "the vector data vector", "en", "s1"),
+      (2L, "the data", "en", "s1"),
+      (3L, "the", "en", "s1")))
+    val got = graft.queries.Catalog.queries("text_tfidf")(spark, tmp)
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    def w(tf: Long, df: Long) =
+      BigDecimal(tf * math.log(3.0 / df))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, "data", 1L, 2L, w(1, 2)),
+      (1L, "the", 1L, 3L, 0.0),
+      (1L, "vector", 2L, 1L, w(2, 1)),
+      (2L, "data", 1L, 2L, w(1, 2)),
+      (2L, "the", 1L, 3L, 0.0),
+      (3L, "the", 1L, 3L, 0.0)))
+  }
+
+  test("quality sampling: kept iff md5 uniform under the score cutoff") {
+    val long = (1 to 120).map(i => s"w$i the of and to in is").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, long, "en", "s1"), (2L, long, "en", "s1"),
+      (3L, "", "en", "s1"), (4L, "x", "en", "s1")))
+    val rows = graft.queries.Catalog.queries("text_quality_sample")(spark, tmp)
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val (q, u6, kept) = (r.getDouble(1), r.getString(2), r.getBoolean(3))
+      val cutoff = f"${math.floor(q * 16777216.0).toInt}%06x"
+      assert(kept === (q >= 1.0 || u6 < cutoff), s"doc ${r.getLong(0)}")
+    }
+    // both decision branches are exercised: the long docs score exactly
+    // 1.0 (always kept), the short/empty docs go through the hex compare
+    assert(rows.count(_.getDouble(1) >= 1.0) === 2)
+    assert(rows.count(_.getDouble(1) < 1.0) === 2)
+    val rerun = graft.queries.Catalog.queries("text_quality_sample")(spark, tmp)
+      .orderBy("doc_id").collect().map(_.getBoolean(3)).toSeq
+    assert(rerun === rows.map(_.getBoolean(3)).toSeq)
+  }
+
+  test("shard plan: per-shard ranks are a 1..n permutation in md5 order") {
+    val tmp = writeDocs((1L to 200L).map(i => (i, s"doc $i", "en", "s1")))
+    val got = graft.queries.Catalog.queries("text_shard_plan")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length === 200)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, s"shard $shard")
+      // rank order == md5 order within the shard
+      val byRank = rows.sortBy(_._3).map(_._1).toSeq
+      val byHash = rows.map(_._1).sortBy(id => md5hex(id.toString)).toSeq
+      assert(byRank === byHash, s"shard $shard")
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("prefix sum spreads one hot key across tasks with a correct total") {
     import graft.operators.PrefixSum
     // AQE sizes range partitions by BYTES and would legitimately coalesce
