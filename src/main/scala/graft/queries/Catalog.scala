@@ -1703,6 +1703,20 @@ object Catalog {
   // Structured Streaming (batch-equivalence oracles)
   // ---------------------------------------------------------------------
 
+  /** Streaming ingestion dedup with watermark-bounded state
+    * (dropDuplicatesWithinWatermark keyed by content fingerprint); the
+    * planted cross-batch duplicates collapse to one survivor per
+    * fingerprint, so the oracle is DISTINCT over the raw table.
+    */
+  val streamDedup: Q = (s, dir) =>
+    graft.streaming.StreamingOps.dedupDocuments(s, s"$dir/documents.parquet")
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT
+      |  md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
+      |  CAST(1 AS BIGINT) AS n_kept
+      |FROM documents""".stripMargin
+
   /** Tumbling-window streaming aggregation driven to completion with
     * Trigger.AvailableNow; oracle = the batch equivalent via time_bucket.
     */
@@ -1824,6 +1838,7 @@ object Catalog {
     "mm_decode_gif" -> mmDecodeGif,
     "mm_decode_avi" -> mmDecodeAvi,
     "mm_decode_wav" -> mmDecodeWav,
+    "stream_dedup" -> streamDedup,
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_first_seen" -> streamFirstSeen,
@@ -1888,6 +1903,7 @@ object Catalog {
     "mm_decode_gif" -> mmDecodeGifSql,
     "mm_decode_avi" -> mmDecodeAviSql,
     "mm_decode_wav" -> mmDecodeWavSql,
+    "stream_dedup" -> streamDedupSql,
     "stream_windowed_agg" -> streamWindowedAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_first_seen" -> streamFirstSeenSql,

@@ -215,6 +215,24 @@ object StreamingOps {
     */
   @volatile private[graft] var lastDroppedByWatermark: Long = -1L
 
+  /** One staged data file per intended micro-batch: move a single-part
+    * parquet write into the stream dir and pin its mtime so the file
+    * source discovers the files in the order the test scripted.
+    */
+  private[graft] def stageOne(
+      inDir: String, df: DataFrame, name: String, mtime: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$inDir/_stage_$name"
+    df.coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    Files.move(part, Paths.get(inDir, name))
+    graft.core.Fs.deleteRecursively(Paths.get(tmp))
+    Files.setLastModifiedTime(Paths.get(inDir, name),
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+
   /** Watermark late-data discard, exercised for real: the input is staged
     * as THREE files with ordered modification times — files A and B
     * together map every event into day-2 hourly windows, file C maps the
@@ -248,22 +266,9 @@ object StreamingOps {
       .createTempDirectory(s"graft_stream_late_in_${counter.incrementAndGet()}")
       .toString
     tempDirs.add(inDir)
-    // one data file per batch: move each write's single part file into the
-    // stream dir and pin mtimes so the file source discovers A before B
-    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$inDir/_stage_$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .findFirst().get()
-      Files.move(part, Paths.get(inDir, name))
-      graft.core.Fs.deleteRecursively(Paths.get(tmp))
-      Files.setLastModifiedTime(Paths.get(inDir, name),
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
-    stageOne(staged("2026-01-02 00:00:00", Some(0)), "a_ontime.parquet", 1000000000000L)
-    stageOne(staged("2026-01-02 00:00:00", Some(1)), "b_ontime.parquet", 1000000001000L)
-    stageOne(staged("2026-01-01 00:00:00", None), "c_late.parquet", 1000000002000L)
+    stageOne(inDir, staged("2026-01-02 00:00:00", Some(0)), "a_ontime.parquet", 1000000000000L)
+    stageOne(inDir, staged("2026-01-02 00:00:00", Some(1)), "b_ontime.parquet", 1000000001000L)
+    stageOne(inDir, staged("2026-01-01 00:00:00", None), "c_late.parquet", 1000000002000L)
 
     val agg = spark.readStream.schema(staged("2026-01-02 00:00:00", None).schema)
       .option("maxFilesPerTrigger", 1)
@@ -290,6 +295,74 @@ object StreamingOps {
     spark.read.parquet(out)
       .select(col("ws").cast("timestamp_ntz").as("window_start"),
         col("n"), col("total_value"))
+  }
+
+  /** Test hooks for the last streaming-dedup run: retained state keys at
+    * the final batch and how many non-empty micro-batches ran.
+    */
+  @volatile private[graft] var lastDedupStateRows: Long = -1L
+  @volatile private[graft] var lastDedupBatches: Long = -1L
+
+  /** Streaming ingestion dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keyed by content fingerprint. The
+    * production shape for continuous crawl ingestion — a plain streaming
+    * `dropDuplicates` retains one state entry per distinct key FOREVER,
+    * which at 100 TB/day never stops growing; the watermarked variant
+    * evicts a fingerprint once the event-time watermark passes its
+    * dedup horizon (here 30 days), so state is bounded by the horizon's
+    * key volume, not the stream's lifetime. First occurrence is emitted
+    * immediately (append mode); the horizon governs only eviction.
+    *
+    * Exercised for real: exact duplicates of every 10th document are
+    * planted under shifted ids, the input is staged as three id-residue
+    * files read with maxFilesPerTrigger=1, and a planted copy ALWAYS
+    * lands in a different file than its original (10^7 mod 3 = 1), so the
+    * dedup must carry fingerprint state across micro-batches. Ingestion
+    * timestamps spread deterministically over minutes — far inside the
+    * horizon — so the planted and natural duplicates all dedup, and the
+    * result is exactly one surviving row per distinct fingerprint
+    * (`n_kept` = 1, oracle: DISTINCT over the raw table; the planted
+    * copies add no new fingerprints by construction). The eviction
+    * semantics (duplicate arriving beyond the horizon is kept again) are
+    * spec-asserted separately with a scripted watermark advance.
+    */
+  def dedupDocuments(spark: SparkSession, documentsParquet: String): DataFrame = {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(documentsParquet)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.docFingerprint(col("text")).as("fp"))
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val full = docs.unionByName(planted)
+      .withColumn("ts", to_timestamp(lit("2026-01-02 00:00:00")) +
+        expr("make_interval(0, 0, 0, 0, 0, CAST(doc_id % 60 AS INT), 0)"))
+    val inDir = Files
+      .createTempDirectory(s"graft_stream_dedup_in_${counter.incrementAndGet()}")
+      .toString
+    tempDirs.add(inDir)
+    for (r <- 0 to 2)
+      stageOne(inDir, full.filter(pmod(col("doc_id"), lit(3)) === r),
+        s"f$r.parquet", 1000000000000L + r * 1000L)
+    val deduped = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("fp")
+    val (out, chk) = sinkDirs("dedup")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastSinkPath = out
+    val stateOps = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).map(_.toSeq).getOrElse(Seq.empty))
+    lastDedupStateRows = stateOps.map(_.numRowsTotal).lastOption.getOrElse(-1L)
+    lastDedupBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    spark.read.parquet(out).groupBy("fp").agg(count(lit(1)).as("n_kept"))
   }
 
   /** Stateful per-user sessionization via flatMapGroupsWithState-style

@@ -294,6 +294,56 @@ class TextStreamSpec extends SparkSpec {
       (9L, 0L, 0L, 1L)))    // stream b starts fresh at offset 0
   }
 
+  test("streaming dedup: one survivor per fingerprint across batches") {
+    // ids 7 and 8 share text (7%3=1, 8%3=2 -> different staged files),
+    // and every 10th id gets a planted copy in yet another file — both
+    // kinds must dedup through cross-batch state
+    val tmp = writeDocs((1L to 30L).map(i =>
+      (i, if (i == 7L || i == 8L) "same text seven eight"
+          else s"unique doc number $i", "en", "s1")))
+    val got = graft.queries.Catalog.queries("stream_dedup")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.length === 29) // 30 docs, one shared fingerprint
+    assert(got.forall(_._2 == 1L))
+    assert(graft.streaming.StreamingOps.lastDedupBatches === 3L)
+    assert(graft.streaming.StreamingOps.lastDedupStateRows === 29L)
+  }
+
+  test("streaming dedup: state evicted past the horizon readmits a key") {
+    import graft.streaming.StreamingOps
+    def row(fp: String, ts: String) =
+      Seq(fp).toDF("fp").withColumn("ts", to_timestamp(lit(ts)))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_dedup_evict").toString
+    StreamingOps.stageOne(inDir,
+      row("X", "2026-01-01 00:00:00"), "f0.parquet", 1000000000000L)
+    StreamingOps.stageOne(inDir,
+      row("Y", "2026-04-10 00:00:00"), "f1.parquet", 1000000001000L)
+    // watermark Mar 11 (Apr 10 - 30d) is committed after f1's batch;
+    // eviction runs as part of f2's batch, so the readmission probe
+    // arrives one batch later in f3 against provably-clean state
+    StreamingOps.stageOne(inDir,
+      row("Z", "2026-04-10 00:01:00"), "f2.parquet", 1000000002000L)
+    StreamingOps.stageOne(inDir,
+      row("X", "2026-04-10 00:05:00").union(row("Y", "2026-04-10 00:06:00")),
+      "f3.parquet", 1000000003000L)
+    val out = java.nio.file.Files.createTempDirectory("graft_dedup_evict_out").toString
+    val q = spark.readStream.schema(row("X", "2026-01-01 00:00:00").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$out/r").option("checkpointLocation", s"$out/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val counts = spark.read.parquet(s"$out/r").groupBy("fp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // X's state (expiry Jan 31) is evicted once a batch runs under the
+    // Mar 11 watermark, so April's X is kept AGAIN — bounded state
+    // trades horizon-width exactness for never-growing state. Y is
+    // inside the horizon: the second Y is dropped.
+    assert(counts === Map("X" -> 2L, "Y" -> 1L, "Z" -> 1L))
+  }
+
   test("tfidf: exact tf/df/weights on a hand-computed corpus") {
     // Corpus N=3: "the" in all 3 docs (idf ln(1)=0), "data" in 2
     // (ln(1.5)), "vector" in doc 1 only, twice (2*ln(3)).
