@@ -1421,7 +1421,14 @@ object Catalog {
       .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // sum(least(tf, 1)) == row count per term (tf >= 1 by construction),
+    // written so the optimizer cannot prove tf unused: a plain count
+    // would let RemoveRedundantAggregates collapse this branch into a
+    // bare distinct, the two subtrees would no longer canonicalize
+    // equal, and AQE could not reuse the (doc_id, term) shuffle — the
+    // corpus would be scanned and exploded twice instead of once
+    val df = tf.groupBy("term")
+      .agg(coalesce(sum(least(col("tf"), lit(1L))), lit(0L)).as("df"))
     tf.join(df, Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))

@@ -185,6 +185,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tfidf reuses the (doc, term) shuffle: corpus scanned once at runtime") {
+    // The DF branch is derived FROM the TF aggregate; its per-term count
+    // is written as sum(least(tf, 1)) so RemoveRedundantAggregates
+    // cannot collapse it into a bare distinct — with identical subtrees
+    // AQE materializes the (doc_id, term) exchange once and the second
+    // consumer is a ReusedExchange, not a second scan + explode.
+    val df = graft.queries.Catalog.queries("text_tfidf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        assert(a.toString.contains("isFinalPlan=true"), a.toString.take(300))
+        a.toString
+      case other => other.toString
+    }
+    assert(p.contains("ReusedExchange"),
+      "expected the DF branch to reuse the TF shuffle:\n" + p.take(1500))
+  }
+
   test("custom expressions execute inside whole-stage codegen") {
     // assert on a shuffle-free parquet-sourced plan: AQE-wrapped plans
     // report no codegen subtrees until executed, local relations never
