@@ -1521,6 +1521,39 @@ object Catalog {
       |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS ord
       |FROM h""".stripMargin
 
+  /** Sketch statistics — the approximate aggregates a 100-TB corpus is
+    * actually profiled with: HyperLogLog++ distinct fingerprints and a
+    * quantile sketch per source, each checked against its exact twin
+    * with a driver-verified error bound (the recall-floor pattern the
+    * ann_* queries use). At scale the sketches are the only viable path
+    * — exact distinct shuffles every fingerprint, while HLL ships a
+    * fixed few-KB register set per group through the partial agg; the
+    * exact twins here exist to make the bound checkable at test scale.
+    * Both sketches are hash-based and deterministic, so the booleans
+    * are stable across runs and engines.
+    */
+  val textSketchStats: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("source"), col("n_chars"),
+      TextAnalysis.docFingerprint(col("text")).as("fp"))
+    docs.groupBy("source").agg(
+      countDistinct(col("fp")).as("exact_distinct"),
+      approx_count_distinct(col("fp"), 0.02).as("apx_distinct"),
+      expr("percentile(n_chars, 0.5)").as("exact_p50"),
+      expr("approx_percentile(n_chars, 0.5, 10000)").as("apx_p50"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("apx_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("distinct_ok"),
+        (abs(col("apx_p50") - col("exact_p50")) <=
+          col("exact_p50") * 0.05).as("p50_ok"))
+  }
+
+  val textSketchStatsSql: String =
+    """SELECT source,
+      |  count(DISTINCT md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))))
+      |    AS exact_distinct,
+      |  true AS distinct_ok, true AS p50_ok
+      |FROM documents GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------------
   // Multimodal: opaque binary columns, real decoders for every kind
   // ---------------------------------------------------------------------
@@ -1839,6 +1872,7 @@ object Catalog {
     "text_tfidf" -> textTfidf,
     "text_quality_sample" -> textQualitySample,
     "text_shard_plan" -> textShardPlan,
+    "text_sketch_stats" -> textSketchStats,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
@@ -1904,6 +1938,7 @@ object Catalog {
     "text_tfidf" -> textTfidfSql,
     "text_quality_sample" -> textQualitySampleSql,
     "text_shard_plan" -> textShardPlanSql,
+    "text_sketch_stats" -> textSketchStatsSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,

@@ -406,6 +406,41 @@ class TextStreamSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("prefix sum matches the plain-window oracle on randomized input") {
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new scala.util.Random(20260817)
+    val data = (1 to 5000).map(i =>
+      (rnd.nextInt(20).toString, i, rnd.nextInt(50).toLong))
+      .toDF("k", "ord", "w")
+    val got = PrefixSum.withinKeys(data, Seq("k"), Seq("ord"), col("w"), "cum")
+      .select("k", "ord", "cum")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val want = data.withColumn("cum",
+      sum("w").over(W.partitionBy("k").orderBy("ord")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select("k", "ord", "cum")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("sketch stats: approx distinct and percentile stay inside the bound") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    (1L to 400L).map { i =>
+      val text = s"document number $i with some words"
+      (i, text, "en", s"s${i % 4}", text.length)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.Catalog.queries("text_sketch_stats")(spark, tmp)
+      .orderBy("source").collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      assert(r.getLong(1) === 100L)
+      assert(r.getBoolean(2), s"${r.getString(0)}: approx distinct out of bound")
+      assert(r.getBoolean(3), s"${r.getString(0)}: approx p50 out of bound")
+    }
+  }
+
   test("prefix sum spreads one hot key across tasks with a correct total") {
     import graft.operators.PrefixSum
     // AQE sizes range partitions by BYTES and would legitimately coalesce
