@@ -132,4 +132,48 @@ class PropertySpec extends SparkSpec {
       assert(got === a.toSet.intersect(b.toSet).size)
     }
   }
+
+  test("hex-cutoff compare equals numeric compare (quality-sample core)") {
+    // text_quality_sample decides keep/drop by comparing a 6-hex md5
+    // prefix against printf('%06x', floor(q * 2^24)) lexicographically;
+    // that is only sound because fixed-width lowercase hex ordering IS
+    // numeric ordering. Property-check the equivalence across random
+    // uniforms and scores, plus the boundary q values.
+    val us = samples(Gen.choose(0, (1 << 24) - 1), 500)
+    val qs = Seq(0.0, 1.0, 0.9999, 1.0 / (1 << 24)) ++ samples(Gen.choose(0.0, 1.0), 496)
+    us.zip(qs).foreach { case (u, q) =>
+      val cutoff = math.floor(q * (1 << 24)).toInt
+      val hexKept = (q >= 1.0) || f"$u%06x" < f"$cutoff%06x"
+      val numKept = (q >= 1.0) || u < cutoff
+      assert(hexKept === numKept, s"u=$u q=$q")
+    }
+  }
+
+  test("sequence packing invariants hold on randomized streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8675309)
+    val docs = (1 to 2000).map(i =>
+      (i.toLong, s"s${rnd.nextInt(5)}", 1L + rnd.nextInt(600)))
+      .toDF("doc_id", "source", "n_tokens")
+    val packed = graft.operators.SeqPack.pack(docs, "source", "doc_id", "n_tokens", 256)
+      .select("doc_id", "source", "n_tokens", "start_off", "bin_first", "bin_last")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    packed.groupBy(_._2).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._1)
+      // offsets tile the stream exactly: each doc starts where the
+      // previous one ended, streams start at zero
+      var expect = 0L
+      ordered.foreach { case (id, _, n, off, bf, bl) =>
+        assert(off === expect, s"$src doc $id")
+        assert(bf === off / 256)
+        assert(bl === (off + n - 1) / 256)
+        assert(bf <= bl)
+        expect = off + n
+      }
+      // no token wasted: total bins span exactly ceil(total/256)
+      val total = ordered.map(_._3).sum
+      assert(ordered.last._6 === (total - 1) / 256, s"$src last bin")
+    }
+  }
 }
