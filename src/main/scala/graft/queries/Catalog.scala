@@ -1312,7 +1312,12 @@ object Catalog {
     * never shuffled — the only corpus-keyed exchange is the per-doc hit
     * count.
     */
-  val textDecontaminate: Q = (s, dir) => {
+  /** (doc_id, n_hits) for every document with at least one eval-set
+    * 8-gram overlap — the shared core of text_decontaminate and the
+    * composed curation pipeline. See textDecontaminate for the planting
+    * and scale rationale.
+    */
+  private def decontaminationHits(s: SparkSession, dir: String): DataFrame = {
     val marker = "benchmark heldout eval secret phrase alpha beta gamma"
     val planted = concat(
       Normalize.emptyIfNull(col("text")),
@@ -1332,8 +1337,12 @@ object Catalog {
           sequence(lit(1), size(col("ws")) - 7),
           i => md5(array_join(slice(col("ws"), i, lit(8)), " ").cast("binary"))))
           .as("g"))
-    val hits = ngrams.join(broadcast(evalSet), Seq("g"))
+    ngrams.join(broadcast(evalSet), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  val textDecontaminate: Q = (s, dir) => {
+    val hits = decontaminationHits(s, dir)
     t(s, dir, "documents").select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1553,6 +1562,109 @@ object Catalog {
       |    AS exact_distinct,
       |  true AS distinct_ok, true AS p50_ok
       |FROM documents GROUP BY source""".stripMargin
+
+  /** The whole curation story composed end-to-end, the way a 100-TB
+    * pretraining ingest actually runs it: exact dedup (min-id survivor
+    * per content fingerprint) -> benchmark decontamination (drop any doc
+    * with an eval 8-gram hit) -> language-mixture + quality-weighted
+    * sampling (independently SALTED deterministic uniforms — the
+    * standalone queries share one hash prefix, a composed pipeline must
+    * not correlate its sampling decisions) -> deterministic
+    * training-order shard plan over the final kept set. Every stage is
+    * the scale-safe variant its standalone query documents; the
+    * composition adds no new shuffle beyond its parts.
+    */
+  val textCurationPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val fp = docs.select(col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.docFingerprint(col("text")).as("fp"))
+    val survivors = fp.join(
+      fp.groupBy("fp").agg(min("doc_id").as("doc_id")), Seq("fp", "doc_id"))
+    val clean = survivors
+      .join(decontaminationHits(s, dir), Seq("doc_id"), "left_anti")
+    val quotas = Seq(
+      ("en", "ff"), ("zh", "7f"), ("es", "7f"), ("de", "3f"), ("fr", "3f"))
+      .toDF("lang", "cutoff")
+    def salted(salt: String, len: Int) = substring(
+      md5(concat(lit(salt), col("doc_id").cast("string")).cast("binary")), 1, len)
+    val q = TextAnalysis.qualityScore(col("text"))
+    val qCut = format_string("%06x", floor(q * lit(16777216.0)).cast("int"))
+    val sampled = clean.join(broadcast(quotas), Seq("lang"))
+      .filter(salted("mix:", 2) <= col("cutoff") &&
+        (q >= 1.0 || salted("q:", 6) < qCut))
+    val sharded = sampled
+      .select(col("doc_id"), col("lang"), salted("shard:", 32).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+    graft.operators.PrefixSum
+      .withinKeys(sharded, Seq("shard"), Seq("h", "doc_id"), lit(1L), "ord")
+      .select(col("doc_id"), col("lang"), col("shard"), col("ord"))
+  }
+
+  val textCurationPipelineSql: String = {
+    val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    """WITH c AS (
+      |  SELECT doc_id, lang, coalesce(text, '') AS raw,
+      |    trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |surv AS (
+      |  SELECT doc_id, lang, raw, canon FROM (
+      |    SELECT doc_id, lang, raw, canon,
+      |      min(doc_id) OVER (PARTITION BY md5(canon)) AS keep_id
+      |    FROM c)
+      |  WHERE doc_id = keep_id),
+      |pl AS (
+      |  SELECT doc_id, coalesce(text, '') ||
+      |    CASE WHEN doc_id % 31 = 0
+      |      THEN ' benchmark heldout eval secret phrase alpha beta gamma'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |c2 AS (SELECT doc_id, trim(regexp_replace(lower(t), '\s+', ' ', 'g')) AS canon FROM pl),
+      |w AS (SELECT doc_id, string_split(canon, ' ') AS ws FROM c2 WHERE canon <> ''),
+      |ev AS (
+      |  SELECT DISTINCT g FROM (
+      |    SELECT md5(array_to_string(ws[3:10], ' ')) AS g
+      |    FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 10
+      |    UNION ALL
+      |    SELECT md5('benchmark heldout eval secret phrase alpha beta gamma'))),
+      |ng AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws) - 7),
+      |      i -> md5(array_to_string(ws[i:i+7], ' ')))) AS g
+      |  FROM w WHERE len(ws) >= 8),
+      |hits AS (SELECT DISTINCT ng.doc_id FROM ng JOIN ev ON ng.g = ev.g),
+      |clean AS (
+      |  SELECT s.* FROM surv s LEFT JOIN hits h ON s.doc_id = h.doc_id
+      |  WHERE h.doc_id IS NULL),
+      |f AS (
+      |  SELECT doc_id, lang, raw,
+      |    CASE WHEN length(canon) = 0 THEN 0 ELSE len(string_split(canon, ' ')) END AS wc,
+      |    string_split(canon, ' ') AS ws
+      |  FROM clean),
+      |qt AS (
+      |  SELECT doc_id, lang,
+      |    round(0.4 * least(CAST(wc AS DOUBLE) / 100.0, 1.0)
+      |      + 0.3 * least((CASE WHEN wc = 0 THEN 0.0
+      |          ELSE CAST(len(list_filter(ws, x -> x IN (STOPS))) AS DOUBLE) / wc END) * 5.0, 1.0)
+      |      + 0.3 * greatest(1.0 - (CASE WHEN length(raw) = 0 THEN 0.0
+      |          ELSE CAST(length(raw) - length(regexp_replace(raw, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(raw) END) * 4.0, 0.0), 4) AS quality
+      |  FROM f),
+      |wq(lang, cutoff) AS (
+      |  VALUES ('en','ff'),('zh','7f'),('es','7f'),('de','3f'),('fr','3f')),
+      |kept AS (
+      |  SELECT qt.doc_id, qt.lang FROM qt JOIN wq ON qt.lang = wq.lang
+      |  WHERE substr(md5('mix:' || CAST(qt.doc_id AS VARCHAR)), 1, 2) <= wq.cutoff
+      |    AND (qt.quality >= 1.0 OR
+      |      substr(md5('q:' || CAST(qt.doc_id AS VARCHAR)), 1, 6)
+      |        < printf('%06x', CAST(floor(qt.quality * 16777216.0) AS INT))))
+      |SELECT doc_id, lang,
+      |  substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |  row_number() OVER (
+      |    PARTITION BY substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
+      |    ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) AS ord
+      |FROM kept""".stripMargin.replace("STOPS", stops)
+  }
 
   // ---------------------------------------------------------------------
   // Multimodal: opaque binary columns, real decoders for every kind
@@ -1873,6 +1985,7 @@ object Catalog {
     "text_quality_sample" -> textQualitySample,
     "text_shard_plan" -> textShardPlan,
     "text_sketch_stats" -> textSketchStats,
+    "text_curation_pipeline" -> textCurationPipeline,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
@@ -1939,6 +2052,7 @@ object Catalog {
     "text_quality_sample" -> textQualitySampleSql,
     "text_shard_plan" -> textShardPlanSql,
     "text_sketch_stats" -> textSketchStatsSql,
+    "text_curation_pipeline" -> textCurationPipelineSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,

@@ -406,6 +406,32 @@ class TextStreamSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("curation pipeline composes its stages consistently") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.Catalog.queries("text_curation_pipeline")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val keptIds = out.map(_._1).toSet
+    assert(keptIds.nonEmpty)
+    // nothing contaminated survives
+    val contaminated = graft.queries.Catalog.queries("text_decontaminate")(spark, dir)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(contaminated).isEmpty)
+    // every kept doc is its fingerprint's min-id survivor
+    val survivors = graft.queries.Catalog.queries("text_fingerprint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(keptIds.subsetOf(survivors))
+    // per-shard ords are a 1..n permutation
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, s"shard $shard")
+    }
+    // fully deterministic end to end
+    val rerun = graft.queries.Catalog.queries("text_curation_pipeline")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(rerun.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("prefix sum matches the plain-window oracle on randomized input") {
     import graft.operators.PrefixSum
     import org.apache.spark.sql.expressions.{Window => W}
