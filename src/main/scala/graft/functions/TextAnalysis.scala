@@ -160,4 +160,53 @@ object TextAnalysis {
     org.apache.spark.sql.GraftBridge.column(
       RollingMinHash(org.apache.spark.sql.GraftBridge.expression(
         Normalize.canonicalText(text)), width))
+
+  // ---- URL canonicalization (web-corpus curation) -------------------
+
+  /** Tracking query parameters stripped during URL canonicalization.
+    * Java-regex/RE2 common subset (no backtracking constructs) so the
+    * DuckDB oracle twin matches byte-for-byte.
+    */
+  val TrackingParamPattern = "(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)"
+
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Raw authority component (still mixed-case, port kept). */
+  def urlHostPort(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Canonical URL for exact-dedup by address: scheme and host
+    * lowercased, default port stripped, fragment dropped, tracking
+    * params removed (with delimiter repair so real params survive),
+    * bare-root path dropped. Case in the path is preserved — it is
+    * significant on real origins. Pure Catalyst; a non-URL input
+    * canonicalizes to "://" + itself-ish garbage only if it contained
+    * "://", otherwise to "://" — callers filter on urlScheme =!= ""
+    * when the corpus may hold junk rows.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = Normalize.emptyIfNull(url)
+    val scheme = urlScheme(u)
+    val host0 = lower(urlHostPort(u))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val r1 = regexp_replace(rest0, "([?&])" + TrackingParamPattern + "=[^&]*", "$1")
+    val r2 = regexp_replace(r1, "[?&]+$", "")
+    val r3 = regexp_replace(r2, "\\?[?&]+", "?")
+    val r4 = regexp_replace(r3, "&&+", "&")
+    val path = regexp_replace(r4, "^/$", "")
+    concat(scheme, lit("://"), host, path)
+  }
+
+  /** Registered domain: authority minus port and a leading www., last
+    * two labels (a real pipeline consults the public-suffix list; the
+    * extract-and-group mechanism is the production shape).
+    */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(
+      regexp_replace(regexp_replace(lower(urlHostPort(url)), ":[0-9]+$", ""), "^www\\.", ""),
+      "([^.]+\\.[^.]+)$", 1)
 }

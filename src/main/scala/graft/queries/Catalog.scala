@@ -1666,6 +1666,99 @@ object Catalog {
       |FROM kept""".stripMargin.replace("STOPS", stops)
   }
 
+  /** URL canonicalization over planted variant URLs: each document gets
+    * a deterministic base URL plus four surface variants — uppercased
+    * scheme+host, explicit default :443 port, tracking-only query
+    * string, and a mixed query (tracking params flanking a real one)
+    * with a fragment. The first four MUST collapse to the base
+    * canonical form and the fifth must keep exactly its real param, so
+    * the oracle verifies both the collapsing and that genuine query
+    * params survive delimiter repair. Pure Catalyst (regex in the
+    * Java/RE2 common subset), whole-stage codegen, one hash-agg
+    * shuffle on doc_id — at 100 TB this is the crawl-side
+    * dedup-by-address pass that runs before any content hashing.
+    */
+  val textUrlCanonical: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id").cast("string")
+    val base = concat(lit("https://www."), col("source"), lit(".example.com/docs/"), id)
+    val variants = array(
+      base,
+      concat(lit("HTTPS://WWW."), upper(col("source")), lit(".EXAMPLE.COM/docs/"), id),
+      concat(lit("https://www."), col("source"), lit(".example.com:443/docs/"), id),
+      concat(base, lit("?utm_source=feed&utm_campaign=sync")),
+      concat(base, lit("?utm_medium=rss&page=2&ref=home#frag")))
+    d.select(col("doc_id"), explode(variants).as("url"))
+      .select(col("doc_id"), TextAnalysis.canonicalUrl(col("url")).as("canon"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("canon")).as("n_canonical"),
+        min(col("canon")).as("canon_min"),
+        max(col("canon")).as("canon_max"))
+  }
+
+  val textUrlCanonicalSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, unnest([
+      |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR),
+      |    'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/docs/' || CAST(doc_id AS VARCHAR),
+      |    'https://www.' || source || '.example.com:443/docs/' || CAST(doc_id AS VARCHAR),
+      |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+      |      || '?utm_source=feed&utm_campaign=sync',
+      |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+      |      || '?utm_medium=rss&page=2&ref=home#frag'
+      |  ]) AS url FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+      |  FROM v),
+      |n AS (
+      |  SELECT doc_id, scheme || '://' ||
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+      |         ELSE host0 END ||
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      rest0, '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&]*', '\1', 'g'),
+      |      '[?&]+$', ''), '\?[?&]+', '?', 'g'), '&&+', '&', 'g'), '^/$', '') AS canon
+      |  FROM p)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_variants,
+      |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+      |  min(canon) AS canon_min, max(canon) AS canon_max
+      |FROM n GROUP BY doc_id""".stripMargin
+
+  /** Per-domain corpus rollup: registered domain extracted from the
+    * planted URL (authority → port and www. stripped → last two
+    * labels), then doc count, distinct languages, and char volume per
+    * domain. One partial-agg shuffle on a low-cardinality key — the
+    * crawl-stats / domain-blocklist pass of a curation pipeline.
+    */
+  val textDomainStats: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val url = concat(lit("https://www.crawl."), col("source"), lit(".net:443/item/"),
+      col("doc_id").cast("string"))
+    d.select(TextAnalysis.registeredDomain(url).as("domain"), col("lang"), col("n_chars"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_chars")), 2).as("mean_chars"))
+  }
+
+  val textDomainStatsSql: String =
+    """WITH h AS (
+      |  SELECT regexp_extract(
+      |    regexp_replace(regexp_replace(
+      |      lower('www.crawl.' || source || '.net:443'), ':[0-9]+$', ''), '^www\.', ''),
+      |    '([^.]+\.[^.]+)$', 1) AS domain, lang, n_chars
+      |  FROM documents)
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  round(avg(n_chars), 2) AS mean_chars
+      |FROM h GROUP BY domain""".stripMargin
+
   // ---------------------------------------------------------------------
   // Multimodal: opaque binary columns, real decoders for every kind
   // ---------------------------------------------------------------------
@@ -1986,6 +2079,8 @@ object Catalog {
     "text_shard_plan" -> textShardPlan,
     "text_sketch_stats" -> textSketchStats,
     "text_curation_pipeline" -> textCurationPipeline,
+    "text_url_canonical" -> textUrlCanonical,
+    "text_domain_stats" -> textDomainStats,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
@@ -2053,6 +2148,8 @@ object Catalog {
     "text_shard_plan" -> textShardPlanSql,
     "text_sketch_stats" -> textSketchStatsSql,
     "text_curation_pipeline" -> textCurationPipelineSql,
+    "text_url_canonical" -> textUrlCanonicalSql,
+    "text_domain_stats" -> textDomainStatsSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,

@@ -112,6 +112,38 @@ class TextStreamSpec extends SparkSpec {
     assert(h("abc") !== h("xyz"))
   }
 
+  test("url canonicalization: hand vectors for every rule") {
+    val c = (s: String) => Seq(s).toDF("u")
+      .select(TextAnalysis.canonicalUrl($"u").as("c")).head().getString(0)
+    // scheme+host lowercased, path case preserved
+    assert(c("HTTPS://WWW.Ex.COM/Docs/A") === "https://www.ex.com/Docs/A")
+    // default ports stripped per scheme; non-default kept
+    assert(c("https://ex.com:443/a") === "https://ex.com/a")
+    assert(c("http://ex.com:80/a") === "http://ex.com/a")
+    assert(c("http://ex.com:8080/a") === "http://ex.com:8080/a")
+    assert(c("https://ex.com:80/a") === "https://ex.com:80/a")
+    // fragment dropped; bare root path dropped
+    assert(c("https://ex.com/a#sec") === "https://ex.com/a")
+    assert(c("https://ex.com/") === "https://ex.com")
+    // tracking params stripped with delimiter repair, real params survive
+    assert(c("https://ex.com/a?utm_source=x") === "https://ex.com/a")
+    assert(c("https://ex.com/a?utm_source=x&p=1") === "https://ex.com/a?p=1")
+    assert(c("https://ex.com/a?p=1&utm_source=x") === "https://ex.com/a?p=1")
+    assert(c("https://ex.com/a?utm_a=1&p=1&ref=h&q=2#f") === "https://ex.com/a?p=1&q=2")
+    assert(c("https://ex.com/a?gclid=1&fbclid=2") === "https://ex.com/a")
+    // a non-tracking param whose name merely contains "ref" survives
+    assert(c("https://ex.com/a?refresh=1") === "https://ex.com/a?refresh=1")
+  }
+
+  test("registered domain: port and www stripped, last two labels") {
+    val d = (s: String) => Seq(s).toDF("u")
+      .select(TextAnalysis.registeredDomain($"u").as("d")).head().getString(0)
+    assert(d("https://www.crawl.src0.net:443/item/1") === "src0.net")
+    assert(d("http://Ex.COM/x") === "ex.com")
+    assert(d("https://a.b.c.example.org/") === "example.org")
+    assert(d("https://localhost/") === "")
+  }
+
   test("streaming windowed agg equals the batch computation") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val streamed = StreamingOps.windowedEventAgg(spark, path)
