@@ -178,12 +178,13 @@ object TextAnalysis {
 
   /** Canonical URL for exact-dedup by address: scheme and host
     * lowercased, default port stripped, fragment dropped, tracking
-    * params removed (with delimiter repair so real params survive),
-    * bare-root path dropped. Case in the path is preserved — it is
-    * significant on real origins. Pure Catalyst; a non-URL input
-    * canonicalizes to "://" + itself-ish garbage only if it contained
-    * "://", otherwise to "://" — callers filter on urlScheme =!= ""
-    * when the corpus may hold junk rows.
+    * params removed from the QUERY component only (with delimiter
+    * repair so real params survive), bare-root path dropped. The path
+    * is preserved byte-for-byte — case and '&' are legal, significant
+    * path characters (RFC 3986 pchar), so the param stripping must
+    * never touch it. Pure Catalyst; a non-URL input canonicalizes to
+    * "://" — callers filter on urlScheme =!= "" when the corpus may
+    * hold junk rows.
     */
   def canonicalUrl(url: Column): Column = {
     val u = Normalize.emptyIfNull(url)
@@ -193,12 +194,14 @@ object TextAnalysis {
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)
     val rest0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
-    val r1 = regexp_replace(rest0, "([?&])" + TrackingParamPattern + "=[^&]*", "$1")
+    val path0 = regexp_extract(rest0, "^([^?]*)", 1)
+    val query0 = regexp_extract(rest0, "(\\?.*)$", 1)
+    val r1 = regexp_replace(query0, "([?&])" + TrackingParamPattern + "=[^&]*", "$1")
     val r2 = regexp_replace(r1, "[?&]+$", "")
     val r3 = regexp_replace(r2, "\\?[?&]+", "?")
-    val r4 = regexp_replace(r3, "&&+", "&")
-    val path = regexp_replace(r4, "^/$", "")
-    concat(scheme, lit("://"), host, path)
+    val query = regexp_replace(r3, "&&+", "&")
+    val path = regexp_replace(path0, "^/$", "")
+    concat(scheme, lit("://"), host, path, query)
   }
 
   /** Registered domain: authority minus port and a leading www., last

@@ -1281,11 +1281,36 @@ object Catalog {
     * auditable. The quota table is tiny and broadcast; the corpus side is
     * a pure map-side filter with zero shuffle.
     */
-  val textMixtureSample: Q = (s, dir) => {
+  /** Language quota table shared by the standalone mixture query and the
+    * composed curation pipeline (and their oracle twins) — one edit
+    * point, so the composition can never desynchronize from the
+    * standalone query it claims to compose.
+    */
+  private val MixtureQuotas = Seq(
+    ("en", "ff"), ("zh", "7f"), ("es", "7f"), ("de", "3f"), ("fr", "3f"))
+
+  private def mixtureQuotasDf(s: SparkSession) = {
     import s.implicits._
-    val quotas = Seq(
-      ("en", "ff"), ("zh", "7f"), ("es", "7f"), ("de", "3f"), ("fr", "3f"))
-      .toDF("lang", "cutoff")
+    MixtureQuotas.toDF("lang", "cutoff")
+  }
+
+  private val MixtureQuotasSqlValues: String =
+    MixtureQuotas.map { case (l, c) => s"('$l','$c')" }.mkString(",")
+
+  /** 24-bit hex cutoff for the deterministic quality coin flip — shared
+    * by textQualitySample and the composed pipeline.
+    */
+  private def qualityCutoff(
+      q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    format_string("%06x", floor(q * lit(16777216.0)).cast("int"))
+
+  /** SQL-dialect twin of qualityCutoff for the DuckDB oracles. */
+  private def qualityCutoffSql(expr: String): String =
+    s"printf('%06x', CAST(floor($expr * 16777216.0) AS INT))"
+
+
+  val textMixtureSample: Q = (s, dir) => {
+    val quotas = mixtureQuotasDf(s)
     t(s, dir, "documents")
       .join(broadcast(quotas), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -1295,10 +1320,11 @@ object Catalog {
 
   val textMixtureSampleSql: String =
     """WITH w(lang, cutoff) AS (
-      |  VALUES ('en','ff'),('zh','7f'),('es','7f'),('de','3f'),('fr','3f'))
+      |  VALUES QUOTAS)
       |SELECT d.doc_id, d.lang, d.source,
       |  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <= w.cutoff AS kept
       |FROM documents d JOIN w ON d.lang = w.lang""".stripMargin
+      .replace("QUOTAS", MixtureQuotasSqlValues)
 
   /** Benchmark decontamination: flag documents sharing any 8-word n-gram
     * with a held-out eval set. The eval set is derived deterministically
@@ -1469,8 +1495,7 @@ object Catalog {
   val textQualitySample: Q = (s, dir) => {
     val q = TextAnalysis.qualityScore(col("text"))
     val u6 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
-    val cutoff = format_string(
-      "%06x", floor(q * lit(16777216.0)).cast("int"))
+    val cutoff = qualityCutoff(q)
     t(s, dir, "documents").select(
       col("doc_id"), q.as("quality"), u6.as("u6"),
       (q >= 1.0 || u6 < cutoff).as("kept"))
@@ -1498,8 +1523,8 @@ object Catalog {
       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS u6
       |  FROM f)
       |SELECT doc_id, quality, u6,
-      |  quality >= 1.0 OR u6 < printf('%06x', CAST(floor(quality * 16777216.0) AS INT)) AS kept
-      |FROM q""".stripMargin.replace("STOPS", stops)
+      |  quality >= 1.0 OR u6 < QCUT AS kept
+      |FROM q""".stripMargin.replace("QCUT", qualityCutoffSql("quality")).replace("STOPS", stops)
   }
 
   /** Deterministic training-order shard plan: a global pseudo-random
@@ -1589,7 +1614,7 @@ object Catalog {
     def salted(salt: String, len: Int) = substring(
       md5(concat(lit(salt), col("doc_id").cast("string")).cast("binary")), 1, len)
     val q = TextAnalysis.qualityScore(col("text"))
-    val qCut = format_string("%06x", floor(q * lit(16777216.0)).cast("int"))
+    val qCut = qualityCutoff(q)
     val sampled = clean.join(broadcast(quotas), Seq("lang"))
       .filter(salted("mix:", 2) <= col("cutoff") &&
         (q >= 1.0 || salted("q:", 6) < qCut))
@@ -1651,19 +1676,21 @@ object Catalog {
       |               / length(raw) END) * 4.0, 0.0), 4) AS quality
       |  FROM f),
       |wq(lang, cutoff) AS (
-      |  VALUES ('en','ff'),('zh','7f'),('es','7f'),('de','3f'),('fr','3f')),
+      |  VALUES QUOTAS),
       |kept AS (
       |  SELECT qt.doc_id, qt.lang FROM qt JOIN wq ON qt.lang = wq.lang
       |  WHERE substr(md5('mix:' || CAST(qt.doc_id AS VARCHAR)), 1, 2) <= wq.cutoff
       |    AND (qt.quality >= 1.0 OR
       |      substr(md5('q:' || CAST(qt.doc_id AS VARCHAR)), 1, 6)
-      |        < printf('%06x', CAST(floor(qt.quality * 16777216.0) AS INT))))
+      |        < QCUT))
       |SELECT doc_id, lang,
       |  substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
       |  row_number() OVER (
       |    PARTITION BY substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
       |    ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) AS ord
       |FROM kept""".stripMargin.replace("STOPS", stops)
+      .replace("QUOTAS", MixtureQuotasSqlValues)
+      .replace("QCUT", qualityCutoffSql("qt.quality"))
   }
 
   /** URL canonicalization over planted variant URLs: each document gets
@@ -1681,11 +1708,12 @@ object Catalog {
   val textUrlCanonical: Q = (s, dir) => {
     val d = t(s, dir, "documents")
     val id = col("doc_id").cast("string")
-    val base = concat(lit("https://www."), col("source"), lit(".example.com/docs/"), id)
+    val src = coalesce(col("source"), lit("")) // NULL source: engines differ on NULL concat+countDistinct
+    val base = concat(lit("https://www."), src, lit(".example.com/docs/"), id)
     val variants = array(
       base,
-      concat(lit("HTTPS://WWW."), upper(col("source")), lit(".EXAMPLE.COM/docs/"), id),
-      concat(lit("https://www."), col("source"), lit(".example.com:443/docs/"), id),
+      concat(lit("HTTPS://WWW."), upper(src), lit(".EXAMPLE.COM/docs/"), id),
+      concat(lit("https://www."), src, lit(".example.com:443/docs/"), id),
       concat(base, lit("?utm_source=feed&utm_campaign=sync")),
       concat(base, lit("?utm_medium=rss&page=2&ref=home#frag")))
     d.select(col("doc_id"), explode(variants).as("url"))
@@ -1700,12 +1728,12 @@ object Catalog {
   val textUrlCanonicalSql: String =
     """WITH v AS (
       |  SELECT doc_id, unnest([
-      |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR),
-      |    'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/docs/' || CAST(doc_id AS VARCHAR),
-      |    'https://www.' || source || '.example.com:443/docs/' || CAST(doc_id AS VARCHAR),
-      |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+      |    'https://www.' || coalesce(source, '') || '.example.com/docs/' || CAST(doc_id AS VARCHAR),
+      |    'HTTPS://WWW.' || upper(coalesce(source, '')) || '.EXAMPLE.COM/docs/' || CAST(doc_id AS VARCHAR),
+      |    'https://www.' || coalesce(source, '') || '.example.com:443/docs/' || CAST(doc_id AS VARCHAR),
+      |    'https://www.' || coalesce(source, '') || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
       |      || '?utm_source=feed&utm_campaign=sync',
-      |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+      |    'https://www.' || coalesce(source, '') || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
       |      || '?utm_medium=rss&page=2&ref=home#frag'
       |  ]) AS url FROM documents),
       |p AS (
@@ -1719,9 +1747,11 @@ object Catalog {
       |    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
       |         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
       |         ELSE host0 END ||
-      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |      rest0, '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&]*', '\1', 'g'),
-      |      '[?&]+$', ''), '\?[?&]+', '?', 'g'), '&&+', '&', 'g'), '^/$', '') AS canon
+      |    regexp_replace(regexp_extract(rest0, '^([^?]*)', 1), '^/$', '') ||
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_extract(rest0, '(\?.*)$', 1),
+      |      '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&]*', '\1', 'g'),
+      |      '[?&]+$', ''), '\?[?&]+', '?', 'g'), '&&+', '&', 'g') AS canon
       |  FROM p)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_variants,
       |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
@@ -1736,8 +1766,8 @@ object Catalog {
     */
   val textDomainStats: Q = (s, dir) => {
     val d = t(s, dir, "documents")
-    val url = concat(lit("https://www.crawl."), col("source"), lit(".net:443/item/"),
-      col("doc_id").cast("string"))
+    val url = concat(lit("https://www.crawl."), coalesce(col("source"), lit("")),
+      lit(".net:443/item/"), col("doc_id").cast("string"))
     d.select(TextAnalysis.registeredDomain(url).as("domain"), col("lang"), col("n_chars"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1750,7 +1780,7 @@ object Catalog {
     """WITH h AS (
       |  SELECT regexp_extract(
       |    regexp_replace(regexp_replace(
-      |      lower('www.crawl.' || source || '.net:443'), ':[0-9]+$', ''), '^www\.', ''),
+      |      lower('www.crawl.' || coalesce(source, '') || '.net:443'), ':[0-9]+$', ''), '^www\.', ''),
       |    '([^.]+\.[^.]+)$', 1) AS domain, lang, n_chars
       |  FROM documents)
       |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,

@@ -224,9 +224,11 @@ object StreamingOps {
     import java.nio.file.{Files, Paths}
     val tmp = s"$inDir/_stage_$name"
     df.coalesce(1).write.parquet(tmp)
-    val part = Files.list(Paths.get(tmp))
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .findFirst().get()
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      finally listing.close()
     Files.move(part, Paths.get(inDir, name))
     graft.core.Fs.deleteRecursively(Paths.get(tmp))
     Files.setLastModifiedTime(Paths.get(inDir, name),
@@ -340,9 +342,12 @@ object StreamingOps {
       .createTempDirectory(s"graft_stream_dedup_in_${counter.incrementAndGet()}")
       .toString
     tempDirs.add(inDir)
-    for (r <- 0 to 2)
+    // one corpus scan for all three staged files, not one per residue
+    full.persist()
+    try for (r <- 0 to 2)
       stageOne(inDir, full.filter(pmod(col("doc_id"), lit(3)) === r),
         s"f$r.parquet", 1000000000000L + r * 1000L)
+    finally full.unpersist()
     val deduped = spark.readStream.schema(full.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)

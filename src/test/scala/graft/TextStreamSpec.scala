@@ -133,6 +133,14 @@ class TextStreamSpec extends SparkSpec {
     assert(c("https://ex.com/a?gclid=1&fbclid=2") === "https://ex.com/a")
     // a non-tracking param whose name merely contains "ref" survives
     assert(c("https://ex.com/a?refresh=1") === "https://ex.com/a?refresh=1")
+    // '&' is a legal PATH character (RFC 3986): stripping and delimiter
+    // repair must never touch the path component
+    assert(c("https://ex.com/download&ref=nav") === "https://ex.com/download&ref=nav")
+    assert(c("https://ex.com/a&&b") === "https://ex.com/a&&b")
+    assert(c("https://ex.com/p&utm_x=1/more?q=1") === "https://ex.com/p&utm_x=1/more?q=1")
+    assert(c("https://ex.com/p&x?utm_a=1&q=2") === "https://ex.com/p&x?q=2")
+    // bare root with a surviving query collapses the slash
+    assert(c("https://ex.com/?p=1") === "https://ex.com?p=1")
   }
 
   test("registered domain: port and www stripped, last two labels") {
