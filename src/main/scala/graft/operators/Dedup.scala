@@ -339,4 +339,38 @@ object Dedup {
     if (small) embeddingPairsExact(df, idCol, embCol, threshold)
     else embeddingPairsLsh(df, idCol, embCol, threshold)
   }
+
+  /** Line-level boilerplate removal (the C4/RefinedWeb/CCNet pass):
+    * drop every line whose exact content appears in at least `minDf`
+    * DISTINCT documents corpus-wide (a line repeated within one page is
+    * not boilerplate), keep the rest in original order, one row per doc
+    * that retains at least one line. The hot-line table — distinct
+    * lines over the document-frequency threshold: navigation chrome,
+    * cookie banners, copyright footers — is tiny relative to the
+    * corpus, so the removal is a left_anti join AQE turns into a
+    * broadcast and the corpus is never shuffled by line content.
+    * Stages: one posexplode (fan-out bounded by line count per doc),
+    * one partial-agg shuffle over distinct (line, doc) for document
+    * frequencies, one reassembly shuffle keyed by doc id. Line
+    * identity is the exact string; at 100 TB key the frequency table
+    * and anti join by xxhash64(line) to shrink the shuffle — the
+    * shape is unchanged.
+    */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would remove every line: $minDf")
+    val lines = df.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("line")
+    lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+  }
 }

@@ -1693,6 +1693,46 @@ object Catalog {
       .replace("QCUT", qualityCutoffSql("qt.quality"))
   }
 
+  /** Line-level boilerplate removal over planted page chrome: every
+    * document is wrapped in a per-source subscribe header and copyright
+    * footer (so each boilerplate line recurs across the source's whole
+    * corpus slice), then Dedup.lineDedup drops lines appearing in >= 10
+    * distinct documents and reassembles the page in order. The oracle
+    * re-derives document frequencies and the cleaned page in SQL, so it
+    * verifies the actual removal and the order-preserving reassembly —
+    * including organic texts that are themselves corpus-frequent (the
+    * generator's planted exact dups) disappearing with the chrome.
+    */
+  val textLineDedup: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val src = coalesce(col("source"), lit(""))
+    val page = concat(
+      lit("subscribe to the "), src, lit(" newsletter\n"),
+      Normalize.emptyIfNull(col("text")),
+      lit("\ncopyright 2026 "), src, lit(" media group"))
+    graft.operators.Dedup.lineDedup(
+      d.select(col("doc_id"), page.as("page")), "doc_id", "page", minDf = 10)
+  }
+
+  val textLineDedupSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    'subscribe to the ' || coalesce(source, '') || ' newsletter' || chr(10) ||
+      |    coalesce(text, '') || chr(10) ||
+      |    'copyright 2026 ' || coalesce(source, '') || ' media group' AS page
+      |  FROM documents),
+      |l0 AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p),
+      |x AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS pos FROM l0),
+      |lines AS (SELECT doc_id, pos, ls[pos] AS line FROM x),
+      |hot AS (
+      |  SELECT line FROM (
+      |    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+      |  WHERE df >= 10)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      |FROM lines WHERE line NOT IN (SELECT line FROM hot)
+      |GROUP BY doc_id""".stripMargin
+
   /** URL canonicalization over planted variant URLs: each document gets
     * a deterministic base URL plus four surface variants — uppercased
     * scheme+host, explicit default :443 port, tracking-only query
@@ -2111,6 +2151,7 @@ object Catalog {
     "text_curation_pipeline" -> textCurationPipeline,
     "text_url_canonical" -> textUrlCanonical,
     "text_domain_stats" -> textDomainStats,
+    "text_line_dedup" -> textLineDedup,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
@@ -2180,6 +2221,7 @@ object Catalog {
     "text_curation_pipeline" -> textCurationPipelineSql,
     "text_url_canonical" -> textUrlCanonicalSql,
     "text_domain_stats" -> textDomainStatsSql,
+    "text_line_dedup" -> textLineDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,

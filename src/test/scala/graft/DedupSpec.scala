@@ -242,4 +242,19 @@ class DedupSpec extends SparkSpec {
     assert(frames.filter(size($"frame_offsets") =!=
       org.apache.spark.sql.functions.expr("(n_frames + 1) div 2")).count() === 0L)
   }
+
+  test("line dedup: corpus-frequent lines removed, order kept, intra-doc reps survive") {
+    val pages = ((1L to 12L).map(i => (i, s"BP\nu$i")) ++ Seq(
+      (13L, "a\nBP\nb"),   // removal in the middle, order preserved
+      (14L, "r\nr\nz"),    // repeated within ONE doc: df=1, not boilerplate
+      (15L, "BP")))        // page that is pure chrome drops out entirely
+      .toDF("doc_id", "page")
+    val out = Dedup.lineDedup(pages, "doc_id", "page", minDf = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size === 14)           // doc 15 gone
+    assert(!out.contains(15L))
+    (1L to 12L).foreach(i => assert(out(i) === ((1L, s"u$i"))))
+    assert(out(13L) === ((2L, "a\nb")))
+    assert(out(14L) === ((3L, "r\nr\nz")))
+  }
 }
