@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: attach to each left row the single most recent
+  * right row with `rightTs <= leftTs` in the same key group (inclusive —
+  * a snapshot taken AT the row's timestamp applies to it), or NULLs when
+  * no right row precedes it. The crawl-side use is policy attachment:
+  * every fetched page joined to the domain's robots/policy snapshot in
+  * force at its warc_ts.
+  *
+  * Spark has no ASOF relation, and the naive encoding — a range theta
+  * join plus a per-pair max — explodes quadratically inside hot keys.
+  * This is instead the union-scan shape: tag right rows 0 and left rows
+  * 1, sort-shuffle once by key, and carry the last non-null right
+  * payload forward with an ignoreNulls running window. One shuffle, no
+  * range join, output rows exactly = left rows.
+  *
+  * `bucketSeconds > 0` engages the hot-key path: the running carry is
+  * computed per (key, time bucket) so no task ever owns a whole key —
+  * cross-bucket state is reconciled through a per-(key, bucket)
+  * last-snapshot table (rows = occupied buckets, not events) whose own
+  * cumulative window is over that tiny table, then joined back
+  * (broadcastable). Same contract as the plain path, spec-asserted
+  * equal on randomized data.
+  */
+object AsofJoin {
+
+  /** Left columns pass through unchanged; each payload column `c` from
+    * the right side is attached as `asof_c` (NULL when nothing
+    * precedes). Right rows are expected unique per (key, ts) — with
+    * duplicates the greatest tiebreak column wins deterministically.
+    */
+  def asof(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, tiebreak: String,
+      payload: Seq[String], bucketSeconds: Long = 0L): DataFrame = {
+    require(payload.nonEmpty, "asof join needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    val r = right.select(
+      col(key) +: col(rightTs).as("_t") +: col(tiebreak).as("_tb") +:
+        payload.map(c => col(c).as("_p_" + c)): _*)
+      .withColumn("_side", lit(0))
+    val l = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_tb", lit(null).cast(r.schema("_tb").dataType))
+      .withColumn("_side", lit(1))
+    val tagged = r.unionByName(l, allowMissingColumns = true)
+    val attached =
+      if (bucketSeconds <= 0L) {
+        val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"), col("_tb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        payload.foldLeft(tagged) { (df, c) =>
+          df.withColumn("_a_" + c, last(col("_p_" + c), ignoreNulls = true).over(w))
+        }
+      } else bucketedCarry(tagged, key, payload, bucketSeconds)
+    attached.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col("_a_" + c).as("asof_" + c)): _*)
+  }
+
+  /** Hot-key variant: within-bucket running carry + cross-bucket
+    * reconciliation through the occupied-bucket summary table.
+    */
+  private def bucketedCarry(
+      tagged: DataFrame, key: String, payload: Seq[String],
+      bucketSeconds: Long): DataFrame = {
+    val withB = tagged.withColumn(
+      "_b", floor(unix_timestamp(col("_t")) / lit(bucketSeconds)))
+    // running last-non-null within each (key, bucket): tasks bounded by
+    // bucket occupancy, never by whole-key volume
+    val wIn = Window.partitionBy(col(key), col("_b"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = payload.foldLeft(withB) { (df, c) =>
+      df.withColumn("_w_" + c, last(col("_p_" + c), ignoreNulls = true).over(wIn))
+    }
+    // last right snapshot per occupied (key, bucket) — rows = occupied
+    // buckets; the struct max orders by (_t, _tb) so duplicate-ts rights
+    // resolve exactly as the plain path's window order does
+    val snap = withB.filter(col("_side") === 0)
+      .groupBy(col(key), col("_b"))
+      .agg(max(struct(col("_t") +: col("_tb") +: payload.map(c => col("_p_" + c)): _*))
+        .as("_s"))
+    // every (key, bucket) seen in the data, with the carry = last
+    // snapshot of any STRICTLY EARLIER bucket (the current bucket's own
+    // rights are already in the within-bucket scan)
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = withB.select(col(key), col("_b")).distinct()
+      .join(snap, Seq(key, "_b"), "left")
+      .withColumn("_c", last(col("_s"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("_b"), col("_c"))
+    payload.foldLeft(within.join(carry, Seq(key, "_b"))) { (df, c) =>
+      df.withColumn("_a_" + c, coalesce(col("_w_" + c), col("_c._p_" + c)))
+    }
+  }
+}

@@ -1693,6 +1693,32 @@ object Catalog {
       .replace("QCUT", qualityCutoffSql("qt.quality"))
   }
 
+  /** Backward as-of join (AsofJoin.asof): each purchase event attached
+    * to the user's most recent signup at-or-before it (the crawl-side
+    * shape: each fetched page joined to the domain policy snapshot in
+    * force at its warc_ts). Union-scan implementation — one sort
+    * shuffle by key, no range theta join — against DuckDB's NATIVE
+    * ASOF LEFT JOIN as the oracle, so the semantics (inclusive bound,
+    * greatest preceding, NULLs when nothing precedes) are pinned to an
+    * independent reference implementation.
+    */
+  val qAsofJoin: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = e.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id", "value")
+    graft.operators.AsofJoin.asof(
+      purchases, signups, "user_id", "ts", "ts", "event_id", Seq("ts", "value"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+      |  r.ts AS asof_ts, r.value AS asof_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
   /** Line-level boilerplate removal over planted page chrome: every
     * document is wrapped in a per-source subscribe header and copyright
     * footer (so each boilerplate line recurs across the source's whole
@@ -2152,6 +2178,7 @@ object Catalog {
     "text_url_canonical" -> textUrlCanonical,
     "text_domain_stats" -> textDomainStats,
     "text_line_dedup" -> textLineDedup,
+    "q_asof_join" -> qAsofJoin,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
@@ -2222,6 +2249,7 @@ object Catalog {
     "text_url_canonical" -> textUrlCanonicalSql,
     "text_domain_stats" -> textDomainStatsSql,
     "text_line_dedup" -> textLineDedupSql,
+    "q_asof_join" -> qAsofJoinSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,

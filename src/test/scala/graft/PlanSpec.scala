@@ -233,4 +233,21 @@ class PlanSpec extends SparkSpec {
     val p = scored.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("line dedup anti-joins a broadcast hot-line table: corpus never shuffles by line") {
+    val df = graft.queries.Catalog.queries("text_line_dedup")(spark, dir)
+    df.collect() // execute so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        assert(a.toString.contains("isFinalPlan=true"), a.toString.take(300))
+        a.toString
+      case other => other.toString
+    }
+    val lines = p.linesIterator.toSeq
+    assert(lines.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "hot-line removal must be a broadcast anti join:\n" + p.take(1200))
+    assert(!lines.exists(l => l.contains("LeftAnti") &&
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))),
+      "the corpus must not shuffle by line content:\n" + p.take(1200))
+  }
 }

@@ -176,4 +176,39 @@ class PropertySpec extends SparkSpec {
       assert(ordered.last._6 === (total - 1) / 256, s"$src last bin")
     }
   }
+
+  test("as-of join: plain and bucketed paths agree with brute force") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val rnd = new scala.util.Random(7)
+    def ts(): java.sql.Timestamp = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d")
+    // second-resolution stamps over 8 keys force duplicate (key, ts)
+    // right rows — the tiebreak must resolve them identically everywhere
+    val rights = (1 to 300).map(i => (rnd.nextInt(8).toLong, ts(), 1000L + i,
+      rnd.nextInt(100).toDouble))
+    val lefts = (1 to 300).map(i => (i.toLong, rnd.nextInt(8).toLong, ts()))
+    val rightDf = rights.toDF("user_id", "ts", "event_id", "value")
+    val leftDf = lefts.toDF("event_id", "user_id", "ts")
+    def run(bucketSeconds: Long) = AsofJoin.asof(
+      leftDf, rightDf, "user_id", "ts", "ts", "event_id", Seq("ts", "value"),
+      bucketSeconds)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(3)), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    val plain = run(0L)
+    val bucketed = run(3600L)
+    val brute = lefts.map { case (id, k, t) =>
+      val prior = rights.filter(r => r._1 == k && !r._2.after(t))
+      if (prior.isEmpty) id -> ((None, None))
+      else {
+        val best = prior.maxBy(r => (r._2.getTime, r._3))
+        id -> ((Some(best._2): Option[java.sql.Timestamp], Some(best._4)))
+      }
+    }.toMap
+    assert(plain.size === 300 && bucketed.size === 300)
+    assert(plain === brute)
+    assert(bucketed === brute)
+  }
 }
