@@ -234,6 +234,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("as-of join plain path is join-free: one union-scan window, no range join") {
+    val df = graft.queries.Catalog.queries("q_asof_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the naive encoding is a range theta join (BNLJ/cartesian) plus a
+    // per-pair max; the union-scan shape has NO join operator at all
+    assert(!p.contains("Join"), "as-of must not plan any join:\n" + p.take(1000))
+    assert(p.contains("Window"), p.take(600))
+    // exactly one data shuffle: the sort-partitioning by key for the
+    // window (ignore any AQE read nodes — count Exchange operators)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected a single shuffle, saw $exchanges:\n" + p.take(1200))
+  }
+
   test("line dedup anti-joins a broadcast hot-line table: corpus never shuffles by line") {
     val df = graft.queries.Catalog.queries("text_line_dedup")(spark, dir)
     df.collect() // execute so AQE finalizes the plan
