@@ -1725,9 +1725,11 @@ object Catalog {
     * corpus slice), then Dedup.lineDedup drops lines appearing in >= 10
     * distinct documents and reassembles the page in order. The oracle
     * re-derives document frequencies and the cleaned page in SQL, so it
-    * verifies the actual removal and the order-preserving reassembly —
-    * including organic texts that are themselves corpus-frequent (the
-    * generator's planted exact dups) disappearing with the chrome.
+    * verifies the actual removal and the order-preserving reassembly.
+    * (Organic text lines never reach minDf in the shipped test data —
+    * max document frequency 2 at sf0.1 — so only the planted chrome is
+    * exercised here; the organic-frequency case is pinned by the
+    * DedupSpec hand corpus instead.)
     */
   val textLineDedup: Q = (s, dir) => {
     val d = t(s, dir, "documents")

@@ -242,10 +242,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "as-of must not plan any join:\n" + p.take(1000))
     assert(p.contains("Window"), p.take(600))
     // exactly one data shuffle: the sort-partitioning by key for the
-    // window (ignore any AQE read nodes — count Exchange operators)
-    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
-      p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, s"expected a single shuffle, saw $exchanges:\n" + p.take(1200))
+    // window. Match the operator name anywhere after the tree-art prefix
+    // (+-, :-, indentation) and exclude ReusedExchange; === 1 so the
+    // assertion can never pass vacuously on a format change
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly one shuffle, saw $exchanges:\n" + p.take(1200))
   }
 
   test("line dedup anti-joins a broadcast hot-line table: corpus never shuffles by line") {

@@ -178,18 +178,33 @@ class PropertySpec extends SparkSpec {
   }
 
   test("as-of join: plain and bucketed paths agree with brute force") {
-    import spark.implicits._
     import graft.operators.AsofJoin
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val rnd = new scala.util.Random(7)
     def ts(): java.sql.Timestamp = java.sql.Timestamp.valueOf(
       f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d")
     // second-resolution stamps over 8 keys force duplicate (key, ts)
-    // right rows — the tiebreak must resolve them identically everywhere
-    val rights = (1 to 300).map(i => (rnd.nextInt(8).toLong, ts(), 1000L + i,
-      rnd.nextInt(100).toDouble))
-    val lefts = (1 to 300).map(i => (i.toLong, rnd.nextInt(8).toLong, ts()))
-    val rightDf = rights.toDF("user_id", "ts", "event_id", "value")
-    val leftDf = lefts.toDF("event_id", "user_id", "ts")
+    // right rows — the tiebreak must resolve them identically everywhere;
+    // NULL keys and timestamps (both sides) must never match anything
+    val rights = (1 to 300).map { i =>
+      val k: java.lang.Long = if (rnd.nextInt(100) < 5) null else rnd.nextInt(8).toLong
+      val t = if (rnd.nextInt(100) < 5) null else ts()
+      (k, t, 1000L + i, rnd.nextInt(100).toDouble)
+    }
+    val lefts = (1 to 300).map { i =>
+      val k: java.lang.Long = if (rnd.nextInt(100) < 5) null else rnd.nextInt(8).toLong
+      val t = if (rnd.nextInt(100) < 10) null else ts()
+      (i.toLong, k, t)
+    }
+    val rightDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rights.map(r => Row(r._1, r._2, r._3, r._4))),
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType), StructField("value", DoubleType))))
+    val leftDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(lefts.map(l => Row(l._1, l._2, l._3))),
+      StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
     def run(bucketSeconds: Long) = AsofJoin.asof(
       leftDf, rightDf, "user_id", "ts", "ts", "event_id", Seq("ts", "value"),
       bucketSeconds)
@@ -200,7 +215,9 @@ class PropertySpec extends SparkSpec {
     val plain = run(0L)
     val bucketed = run(3600L)
     val brute = lefts.map { case (id, k, t) =>
-      val prior = rights.filter(r => r._1 == k && !r._2.after(t))
+      val prior =
+        if (k == null || t == null) Seq.empty
+        else rights.filter(r => r._1 == k && r._2 != null && !r._2.after(t))
       if (prior.isEmpty) id -> ((None, None))
       else {
         val best = prior.maxBy(r => (r._2.getTime, r._3))
