@@ -68,6 +68,20 @@ object Bench {
       .foreach(q => noop(q(spark, sfDir)))
     graft.queries.Catalog.queries.get("er_blocking_pairs")
       .foreach(q => noop(q(spark, "/root/testdata/sf0.001")))
+    // and page in every table's BYTES at the bench scale: a first run
+    // after a cache flush otherwise bills the cold parquet reads to the
+    // alphabetically-first query families (measured: ann_index_recall
+    // 32.8s cold vs 7.1s warm, same binary minutes apart — BASELINE.md
+    // round 5). A full untimed scan makes measurement cache-warm and
+    // comparable across rounds regardless of what ran before.
+    locally {
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))
+      try listing.filter(_.toString.endsWith(".parquet")).forEach { p =>
+        try noop(spark.read.parquet(p.toString))
+        catch { case _: Throwable => () } // warmup must never fail the bench
+      }
+      finally listing.close()
+    }
 
     // noop sink, not count(): count() lets Catalyst PRUNE every unused
     // column, so a projection query's expensive expressions would never
