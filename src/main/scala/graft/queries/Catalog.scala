@@ -1693,6 +1693,53 @@ object Catalog {
       .replace("QCUT", qualityCutoffSql("qt.quality"))
   }
 
+  /** Small-file compaction roundtrip (plans.Compaction): the documents
+    * table is first written DELIBERATELY fragmented (32-way round-robin
+    * — historical write parallelism), then compacted into four
+    * range-laid-out files sorted by doc_id. The flags pin every
+    * invariant the maintenance pass must preserve: exact content (count
+    * + order-free xxhash64 checksum vs the fragmented input), file
+    * count actually reduced to the target, and per-file DISJOINT
+    * sort-key ranges — the property that lets a later scan prune whole
+    * files from parquet footer min/max stats.
+    */
+  val qCompactRoundtrip: Q = (s, dir) => {
+    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val sfName = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${appId}_$sfName"
+    registerCleanup(root)
+    sweepStaleSiblings(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "graft_compact_")
+    val src = t(s, dir, "documents")
+    src.repartition(32).write.mode("overwrite").parquet(s"$root/frag")
+    def chk(df: DataFrame): Long = {
+      val cs = df.columns.sorted.map(col).toSeq
+      df.agg(coalesce(bit_xor(xxhash64(cs: _*)), lit(0L))).head().getLong(0)
+    }
+    val frag = s.read.parquet(s"$root/frag")
+    val n = frag.count()
+    val st = graft.plans.Compaction.compact(
+      s, s"$root/frag", s"$root/compacted", "doc_id", math.max(1L, (n + 3) / 4))
+    val out = s.read.parquet(s"$root/compacted")
+    val ranges = out.groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("lo").collect() // one row per part file — bounded
+    val disjoint = ranges.sliding(2).forall {
+      case Array(a, b) => a.getLong(2) < b.getLong(1)
+      case _ => true
+    }
+    s.range(1).select(
+      lit(n).as("n_rows"),
+      lit(st.rows == n && chk(out) == chk(frag)).as("rows_preserved"),
+      lit(st.filesBefore > st.filesAfter && st.filesAfter <= 4).as("files_bounded"),
+      lit(disjoint && ranges.length == st.filesAfter).as("range_disjoint"))
+  }
+
+  val qCompactRoundtripSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS rows_preserved,
+      |  true AS files_bounded, true AS range_disjoint
+      |FROM documents""".stripMargin
+
   /** Backward as-of join (AsofJoin.asof): each purchase event attached
     * to the user's most recent signup at-or-before it (the crawl-side
     * shape: each fetched page joined to the domain policy snapshot in
@@ -2181,6 +2228,7 @@ object Catalog {
     "text_domain_stats" -> textDomainStats,
     "text_line_dedup" -> textLineDedup,
     "q_asof_join" -> qAsofJoin,
+    "q_compact_roundtrip" -> qCompactRoundtrip,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode" -> mmDecode,
     "mm_decode_png" -> mmDecodePng,
@@ -2252,6 +2300,7 @@ object Catalog {
     "text_domain_stats" -> textDomainStatsSql,
     "text_line_dedup" -> textLineDedupSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_compact_roundtrip" -> qCompactRoundtripSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_decode" -> mmDecodeSql,
     "mm_decode_png" -> mmDecodePngSql,

@@ -222,4 +222,31 @@ class ResumeSpec extends SparkSpec {
       assert(m1.toSeq === m2.toSeq, "skipped stage must not rewrite its manifest")
     } finally rmrf(root)
   }
+
+  test("compaction: fewer range-disjoint files, content byte-preserved") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_compact_spec").toString
+    try {
+      val src = (0L until 1000L).map(i => (i, s"doc$i", (i % 7).toString))
+        .toDF("doc_id", "body", "tag")
+      src.repartition(16).write.mode("overwrite").parquet(s"$root/frag")
+      assert(graft.plans.Compaction.partFiles(s"$root/frag").size === 16)
+      val st = graft.plans.Compaction.compact(
+        spark, s"$root/frag", s"$root/out", "doc_id", 250L)
+      assert(st.rows === 1000L && st.filesBefore === 16 && st.filesAfter === 4)
+      val out = spark.read.parquet(s"$root/out")
+      // exact content, order-free
+      assert(out.orderBy("doc_id").collect().toSeq ===
+        src.orderBy("doc_id").collect().toSeq)
+      // per-file doc_id ranges disjoint -> footer stats prune scans
+      val ranges = out.groupBy(input_file_name().as("f"))
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .orderBy("lo").collect()
+      assert(ranges.length === 4)
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) < b.getLong(1))
+        case _ =>
+      }
+    } finally rmrf(root)
+  }
 }
