@@ -14,6 +14,26 @@ object Fs {
   }
 }
 
+/** Shared partitioning helpers. */
+object Par {
+  /** Explicit width for exchanges feeding pair-exploding or per-row-heavy
+    * compute (block self-joins, edit-distance verifies, media decodes).
+    * AQE coalescing sizes post-shuffle partitions by MAP-side bytes, but
+    * these operators multiply work downstream of the exchange, so the
+    * advisory target collapses a kilobyte-scale probe side to ONE
+    * partition and serializes the scan (measured round 6:
+    * er_blocking_pairs ran 6.9 of 7.2 s in a single task). An explicit
+    * count opts the exchange out of coalescing; the width follows the
+    * scheduler (defaultParallelism ~ total cluster cores at any scale,
+    * raised further by a production shuffle.partitions setting) — never
+    * a local constant.
+    */
+  def spread(s: org.apache.spark.sql.SparkSession): Int =
+    math.max(s.sparkContext.defaultParallelism,
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 1 })
+}
+
 import java.sql.Timestamp
 
 /** Declarative field spec, mirroring the reference's `Field` dataclass

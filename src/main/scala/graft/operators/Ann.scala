@@ -28,7 +28,9 @@ object Ann {
       qId: String, cId: String, embCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(qId).as("query_id"), col(embCol).as("qe")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("ce"))
-      .repartition(col("neighbor_id")) // spread single-split corpora
+      // explicit width: spread single-split corpora; per-row cost here is
+      // |queries| cosines, so an AQE-coalesced exchange would serialize it
+      .repartition(graft.core.Par.spread(corpus.sparkSession), col("neighbor_id"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Similarity.cosineSim(asDouble(col("qe")), asDouble(col("ce"))))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Par
 import graft.functions.{Normalize, Similarity}
 
 /** Training-data-pipeline deduplication operators: exact, word-shingle
@@ -88,7 +89,7 @@ object Dedup {
     // real multi-split tables this exchange matches the data layout)
     val base = df.select((blockCols.map(col) :+ col(idCol) :+
       shingleHashes(Normalize.canonicalText(col(textCol)), n).as("sh")): _*)
-      .repartition(blockCols.map(col) :+ col(idCol): _*)
+      .repartition(Par.spread(df.sparkSession), blockCols.map(col) :+ col(idCol): _*)
     val lhs = base.select((blockCols.map(col) :+ col(idCol).as("id1") :+ col("sh").as("sh1")): _*)
     val rhs = base.select((blockCols.map(col) :+ col(idCol).as("id2") :+ col("sh").as("sh2")): _*)
     lhs.join(rhs, blockCols)
@@ -132,21 +133,26 @@ object Dedup {
     val canon = Normalize.canonicalText(col(textCol))
     // signature table is read three times (banding + both verify sides);
     // materialize once so the shingle/minhash kernels run once per row
+    // explicit width: the minhash/shingle kernels are per-row-heavy, and
+    // an AQE-coalesced exchange would compute them all in one task
     val sigd = materializeOnce(
       df.select((blockCols.map(col) :+ col(idCol) :+
         Similarity.minHashSig(canon, k, n).as("sig") :+
         shingleHashes(canon, n).as("sh")): _*)
-        .repartition(col(idCol)))
+        .repartition(Par.spread(df.sparkSession), col(idCol)))
     val banded = sigd.select((blockCols.map(col) :+ col(idCol) :+
       explode(bandKeys(col("sig"), b, rowsPerBand)).as("bk")): _*)
       .select((blockCols.map(col) :+ col(idCol) :+ col("bk.band") :+ col("bk.bkey")): _*)
     val joinKeys = blockCols ++ Seq("band", "bkey")
     val lhs = banded.select((joinKeys.map(col) :+ col(idCol).as("id1")): _*)
     val rhs = banded.select((joinKeys.map(col) :+ col(idCol).as("id2")): _*)
+    // spread the exact-Jaccard verify: its merge-scan cost is per-PAIR,
+    // so the candidate table must not sit in one coalesced partition
     val cands = lhs.join(rhs, joinKeys)
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()
+      .repartition(Par.spread(df.sparkSession), col("id1"), col("id2"))
     val sh1 = sigd.select(col(idCol).as("id1"), col("sh").as("sh1"))
     val sh2 = sigd.select(col(idCol).as("id2"), col("sh").as("sh2"))
     cands.join(sh1, "id1").join(sh2, "id2")
@@ -181,7 +187,9 @@ object Dedup {
         col(idCol),
         Similarity.minHashSig(canon, k, shingleWidth).as("sig"),
         shingleHashes(canon, shingleWidth).as("sh"))
-        .repartition(col(idCol))) // parallelize signatures on single-split inputs
+        // explicit width: parallelize the per-row-heavy signature kernels
+        // even on single-split inputs (AQE would coalesce to one task)
+        .repartition(Par.spread(df.sparkSession), col(idCol)))
     // the band bucket join carries only ids — shingle sets join back once
     // per deduped pair, not once per colliding band
     val banded = sigd.select(
@@ -194,6 +202,8 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()
+      // spread the per-pair exact-Jaccard verify (see ngramJaccardPairs)
+      .repartition(Par.spread(df.sparkSession), col("id1"), col("id2"))
     val sh1 = sigd.select(col(idCol).as("id1"), col("sh").as("sh1"))
     val sh2 = sigd.select(col(idCol).as("id2"), col("sh").as("sh2"))
     pairs.join(sh1, "id1").join(sh2, "id2")
@@ -253,6 +263,9 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2", "s1", "s2")
       .distinct()
+      // spread the per-pair Levenshtein verify: AQE coalesces the distinct
+      // exchange by bytes, which would serialize the edit-distance scan
+      .repartition(Par.spread(df.sparkSession), col("id1"), col("id2"))
       .filter(levenshtein(col("s1"), col("s2")) <= 1)
       .select("id1", "id2")
   }
@@ -278,9 +291,12 @@ object Dedup {
       col(idCol).as("id"),
       col(embCol).cast("array<double>").as("e"),
       pmod(xxhash64(col(idCol)), lit(tiles)).cast("int").as("g"))
+    // explicit width on the probe side: the cosine scan is per-PAIR work,
+    // and an AQE-coalesced tile join would run it in one or two tasks
     val lhs = base.select(col("id").as("id1"), col("e").as("e1"),
       explode(transform(sequence(col("g"), lit(tiles - 1)),
         j => col("g") * tiles + j)).as("tile"))
+      .repartition(Par.spread(df.sparkSession), col("tile"))
     val rhs = base.select(col("id").as("id2"), col("e").as("e2"),
       explode(transform(sequence(lit(0), col("g")),
         i => i * tiles + col("g"))).as("tile"))
@@ -313,6 +329,8 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()
+      // spread the per-pair exact-cosine verify (see embeddingPairsExact)
+      .repartition(Par.spread(df.sparkSession), col("id1"), col("id2"))
     val e1 = df.select(col(idCol).as("id1"), col(embCol).cast("array<double>").as("e1"))
     val e2 = df.select(col(idCol).as("id2"), col(embCol).cast("array<double>").as("e2"))
     cands.join(e1, "id1").join(e2, "id2")

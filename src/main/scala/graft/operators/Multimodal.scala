@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache backs every ImageInputStream /
+    * ImageOutputStream with a TEMP FILE on disk — for the in-memory
+    * byte-array payloads this module decodes (one stream per image, one
+    * per FRAME on the MJPEG path) that is a create+write+read+delete
+    * syscall round trip per decode, pure overhead. The memory cache
+    * decodes the identical bytes to the identical pixels; payload sizes
+    * are already bounded by the decompression-bomb budgets above/below,
+    * so the file cache's only virtue (spilling huge streams) cannot
+    * apply. Measured round 6: part of mm_decode_avi's single-task cost.
+    */
+  locally { javax.imageio.ImageIO.setUseCache(false) }
+
   final case class MediaMeta(kind: String, nBytes: Long, sha: Long)
 
   /** Shared dimension cap for every decoder (decodeBmp enforces the same

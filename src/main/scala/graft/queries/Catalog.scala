@@ -66,6 +66,23 @@ object Catalog {
       } finally stream.close()
     } catch { case _: java.io.IOException => () }
 
+  /** Explicit width for exchanges feeding PAIR-EXPLODING or per-row-heavy
+    * compute (block self-joins, edit-distance verifies, media decodes).
+    * AQE's partition coalescing sizes post-shuffle partitions by the
+    * MAP-side bytes of the exchange, but these operators multiply work
+    * ~|block| (or ~cost-per-row) downstream of it, so the 16 MB advisory
+    * collapses a kilobyte-scale probe side into ONE partition and
+    * serializes the whole scan on a single core (measured round 6:
+    * er_blocking_pairs ran 4 tasks total with 6.9 s of its 7.2 s in one
+    * task; guide par.2.5 "compare max to median"). An explicit partition
+    * count opts exactly this exchange out of coalescing
+    * (REPARTITION_BY_NUM); the width follows the scheduler's width —
+    * defaultParallelism tracks total cluster cores at any scale, and a
+    * production session that raises spark.sql.shuffle.partitions raises
+    * this too — never a local constant.
+    */
+  private[graft] def spread(s: SparkSession): Int = graft.core.Par.spread(s)
+
   // ---------------------------------------------------------------------
   // Relational core (SURVEY.md par.2.1-2.7)
   // ---------------------------------------------------------------------
@@ -398,8 +415,9 @@ object Catalog {
         col("lang"),
         col("source"),
         Normalize.normalizeField(Seq(col("text")), 60).as("text_norm"))
-    // spread only the probe side; the build side broadcasts
-    val lhs = docs.repartition(col("lang"), col("source"), col("doc_id")).select(
+    // spread only the probe side (explicit width — see spread()); the
+    // build side broadcasts
+    val lhs = docs.repartition(spread(s), col("lang"), col("source"), col("doc_id")).select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id1"), col("text_norm").as("t1"))
     val rhs = docs.select(
@@ -495,7 +513,7 @@ object Catalog {
     // only the probe side needs spreading (single-split parquet would
     // otherwise pair in one task); the build side gets broadcast, where a
     // repartition would be a wasted exchange
-    val a = c.repartition(col("c_nationkey"), col("c_custkey"))
+    val a = c.repartition(spread(s), col("c_nationkey"), col("c_custkey"))
       .select(col("c_nationkey"), col("c_mktsegment"),
         col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_mktsegment"),
@@ -526,7 +544,7 @@ object Catalog {
   val erTopkCandidates: Q = (s, dir) => {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
-    val a = c.repartition(col("c_nationkey"), col("c_mktsegment"), col("c_custkey"))
+    val a = c.repartition(spread(s), col("c_nationkey"), col("c_mktsegment"), col("c_custkey"))
       .select(col("c_nationkey"), col("c_mktsegment"),
         col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_mktsegment"),
@@ -668,7 +686,7 @@ object Catalog {
   val erWrongPairs: Q = (s, dir) => {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
-    val a = c.repartition(col("c_nationkey"), col("c_custkey"))
+    val a = c.repartition(spread(s), col("c_nationkey"), col("c_custkey"))
       .select(col("c_nationkey"), col("c_mktsegment"),
         col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey"), col("c_mktsegment"),
@@ -717,7 +735,7 @@ object Catalog {
     */
   val erClusters: Q = (s, dir) => {
     val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-      .repartition(col("c_nationkey"), col("c_custkey"))
+      .repartition(spread(s), col("c_nationkey"), col("c_custkey"))
     // deletion-neighborhood blocking: exact lev<=1 recall with O(n * len)
     // keys instead of the O(block^2) Levenshtein scan the oracle SQL does
     val edges = Dedup.lev1Pairs(c, "c_custkey", "c_name", Seq("c_nationkey"))
@@ -1933,7 +1951,9 @@ object Catalog {
   val mmDecode: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.Multimodal
-    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    // explicit spread: the decode cost is per-ROW, not per-byte — on a
+    // single-split scan the whole synth+decode pass would run in one task
+    val payloads = t(s, dir, "documents").select(col("doc_id")).repartition(spread(s)).as[Long]
       .map(id => (id, Multimodal.syntheticBmp(id)))
       .toDF("doc_id", "payload")
     Multimodal.decodeBmpStats(payloads)
@@ -1966,7 +1986,9 @@ object Catalog {
   val mmDecodePng: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.Multimodal
-    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    // explicit spread: the decode cost is per-ROW, not per-byte — on a
+    // single-split scan the whole synth+decode pass would run in one task
+    val payloads = t(s, dir, "documents").select(col("doc_id")).repartition(spread(s)).as[Long]
       .map(id => (id, Multimodal.syntheticPng(id)))
       .toDF("doc_id", "payload")
     Multimodal.decodeImageStats(payloads)
@@ -1997,7 +2019,9 @@ object Catalog {
   val mmDecodeGif: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.Multimodal
-    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    // explicit spread: the decode cost is per-ROW, not per-byte — on a
+    // single-split scan the whole synth+decode pass would run in one task
+    val payloads = t(s, dir, "documents").select(col("doc_id")).repartition(spread(s)).as[Long]
       .map(id => (id, Multimodal.syntheticGif(id)))
       .toDF("doc_id", "payload")
     Multimodal.decodeGifStats(payloads, stride = 2)
@@ -2033,7 +2057,9 @@ object Catalog {
   val mmDecodeAvi: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.Multimodal
-    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    // explicit spread: the decode cost is per-ROW, not per-byte — on a
+    // single-split scan the whole synth+decode pass would run in one task
+    val payloads = t(s, dir, "documents").select(col("doc_id")).repartition(spread(s)).as[Long]
       .map(id => (id, Multimodal.syntheticAvi(id)))
       .toDF("doc_id", "payload")
     Multimodal.decodeAviStats(payloads, stride = 2)
@@ -2070,7 +2096,9 @@ object Catalog {
   val mmDecodeWav: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.Multimodal
-    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+    // explicit spread: the decode cost is per-ROW, not per-byte — on a
+    // single-split scan the whole synth+decode pass would run in one task
+    val payloads = t(s, dir, "documents").select(col("doc_id")).repartition(spread(s)).as[Long]
       .map(id => (id, Multimodal.syntheticWav(id)))
       .toDF("doc_id", "payload")
     Multimodal.decodeWavStats(payloads)
