@@ -45,6 +45,40 @@ object StreamingOps {
     (s"$dir/result.parquet", s"$dir/chk")
   }
 
+  /** Session for a streaming query with a DATA-SIZED stateful-shuffle
+    * width (the Clustering isolated-session pattern). Stateful operators
+    * pay a fixed per-partition state-store cost — provider init, delta
+    * file commit, snapshot bookkeeping — EVERY micro-batch, and AQE
+    * cannot help (it is disabled for stateful workloads), so a
+    * core-count-sized width turns a kilobyte snapshot into hundreds of
+    * pure-overhead state tasks per run (measured round 6:
+    * stream_windowed_agg spent 32 s of task time across 32 state
+    * partitions to aggregate a 2 MB input). Width = input bytes / 32 MB,
+    * clamped to [1, session width]: tiny inputs get a handful of state
+    * partitions, large inputs keep the operator's configured width —
+    * scale-adaptive, not a local constant. Each operator here creates a
+    * FRESH checkpoint per invocation, so deriving the width per call is
+    * safe (a width is otherwise pinned by an existing checkpoint).
+    * The child session shares the SparkContext but owns its SQLConf, so
+    * concurrent callers never observe the override.
+    */
+  private def streamSession(spark: SparkSession, inputPath: String): SparkSession = {
+    val sessionWidth =
+      try spark.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => spark.sparkContext.defaultParallelism }
+    val bytes =
+      try {
+        val f = new java.io.File(inputPath)
+        if (f.isFile) f.length
+        else Option(f.listFiles()).map(_.filterNot(_.isDirectory).map(_.length).sum)
+          .getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    val width = math.max(1L, math.min(sessionWidth.toLong, bytes / (32L << 20) + 1)).toInt
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", width.toString)
+    ss
+  }
+
   /** Drive a COMPLETE-mode aggregation stream into a parquet directory via
     * foreachBatch (each micro-batch overwrites with the current complete
     * result; the final batch leaves the final table), then read it back.
@@ -90,7 +124,7 @@ object StreamingOps {
   }
 
   def windowedEventAgg(spark: SparkSession, eventsParquet: String): DataFrame = {
-    val stream0 = streamParquet(spark, eventsParquet)
+    val stream0 = streamParquet(streamSession(spark, eventsParquet), eventsParquet)
     val stream = stream0
       // file timestamps are NTZ; event-time ops need instant semantics
       // (session tz is pinned to UTC so the cast is value-preserving)
@@ -128,7 +162,7 @@ object StreamingOps {
       maxFilesPerTrigger: Option[Int]): org.apache.spark.sql.Dataset[Ev] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    streamParquet(spark, eventsParquet, maxFilesPerTrigger)
+    streamParquet(streamSession(spark, eventsParquet), eventsParquet, maxFilesPerTrigger)
       .withColumn("ts", col("ts").cast("timestamp"))
       .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
       .groupByKey(_.user_id)
@@ -272,7 +306,8 @@ object StreamingOps {
     stageOne(inDir, staged("2026-01-02 00:00:00", Some(1)), "b_ontime.parquet", 1000000001000L)
     stageOne(inDir, staged("2026-01-01 00:00:00", None), "c_late.parquet", 1000000002000L)
 
-    val agg = spark.readStream.schema(staged("2026-01-02 00:00:00", None).schema)
+    val agg = streamSession(spark, eventsParquet).readStream
+      .schema(staged("2026-01-02 00:00:00", None).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
       .withWatermark("ts", "1 hour")
@@ -348,7 +383,8 @@ object StreamingOps {
       stageOne(inDir, full.filter(pmod(col("doc_id"), lit(3)) === r),
         s"f$r.parquet", 1000000000000L + r * 1000L)
     finally full.unpersist()
-    val deduped = spark.readStream.schema(full.schema)
+    val deduped = streamSession(spark, documentsParquet).readStream
+      .schema(full.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
       .withWatermark("ts", "30 days")
@@ -375,7 +411,7 @@ object StreamingOps {
     * `gapMinutes` start a new session.
     */
   def sessionize(spark: SparkSession, eventsParquet: String, gapMinutes: Int): DataFrame = {
-    val stream = streamParquet(spark, eventsParquet)
+    val stream = streamParquet(streamSession(spark, eventsParquet), eventsParquet)
       .withColumn("ts", col("ts").cast("timestamp"))
     val agg = stream
       .withWatermark("ts", "1 hour")
