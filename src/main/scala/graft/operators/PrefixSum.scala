@@ -32,15 +32,29 @@ object PrefixSum {
       rows: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       weight: Column, out: String): DataFrame = {
     val keys = keyCols.map(col)
+    // Materialized ONCE (eager localCheckpoint): (a) a range exchange
+    // re-executes its child for the boundary-sampling pass, (b) the
+    // local-sum and per-(partition, key) totals branches below both
+    // consume these rows, and (c) _pid (spark_partition_id) is
+    // NONDETERMINISTIC, which blocks exchange reuse between the branches
+    // — uncheckpointed, an expensive upstream is evaluated up to four
+    // times through here (measured round 6: text_curation_pipeline ran
+    // its whole dedup+decontaminate+quality upstream once per branch).
+    // The checkpoint holds only the caller's projection — every caller
+    // passes narrow (key, order, weight) rows — and spills via
+    // MEMORY_AND_DISK, so it is scale-safe where a 4x recompute is not.
     val parted = rows
       .repartitionByRange((keys ++ orderCols.map(col)): _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_w", weight.cast("long"))
+      .localCheckpoint()
     val lw = Window.partitionBy(("_pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_ls", sum(col("_w")).over(lw))
-    val totals = local.groupBy(("_pid" +: keyCols).map(col): _*)
+    // totals from the PRE-window rows: same values (sum ignores order),
+    // one window execution instead of two
+    val totals = parted.groupBy(("_pid" +: keyCols).map(col): _*)
       .agg(sum("_w").as("_c"))
     val ow = Window.partitionBy(keys: _*).orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
