@@ -24,14 +24,17 @@ object Par {
     * partition and serializes the scan (measured round 6:
     * er_blocking_pairs ran 6.9 of 7.2 s in a single task). An explicit
     * count opts the exchange out of coalescing; the width follows the
-    * scheduler (defaultParallelism ~ total cluster cores at any scale,
-    * raised further by a production shuffle.partitions setting) — never
-    * a local constant.
+    * scheduler: defaultParallelism tracks total cluster cores at any
+    * scale, which is the right width for COMPUTE-bound scans (their
+    * throughput scales with cores, not with shuffle fan-out) — never a
+    * local constant. Deliberately NOT spark.sql.shuffle.partitions: an
+    * explicit width is exempt from AQE coalescing, so inheriting a large
+    * shuffle width here would schedule thousands of near-empty tasks
+    * (measured: a 1024-partition session turned the 5 s candidates stage
+    * into 21 s of task churn).
     */
   def spread(s: org.apache.spark.sql.SparkSession): Int =
-    math.max(s.sparkContext.defaultParallelism,
-      try s.conf.get("spark.sql.shuffle.partitions").toInt
-      catch { case _: Throwable => 1 })
+    math.max(1, s.sparkContext.defaultParallelism)
 }
 
 import java.sql.Timestamp

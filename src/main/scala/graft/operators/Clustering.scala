@@ -32,7 +32,14 @@ object Clustering {
       dstCol: String = "dst",
       maxIter: Int = 50,
       rowsPerPartition: Long = 2000000L,
-      smallGraphEdgeCap: Long = 200000L): DataFrame = {
+      // 1M edges ~ 16 MB of id pairs, ~200 MB of union-find state worst
+      // case — comfortably single-task on any executor, while the star
+      // loop below costs a dict-encode sort plus ~5 shuffles per round
+      // for O(log^2 n) rounds in pure per-round latency. The cap is an
+      // absolute-size dispatch (same decision on any cluster), not a
+      // core-count tunable; measured round 6: the 180k-page pipeline's
+      // 260k-edge graph spent 9.4 s in the loop vs ~1 s in union-find.
+      smallGraphEdgeCap: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 

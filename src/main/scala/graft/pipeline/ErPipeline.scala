@@ -190,7 +190,18 @@ object ErPipeline {
   private[graft] def candidatesScoped(
       signatures: DataFrame, touchedBlocks: Option[DataFrame],
       cfg: Config): DataFrame = {
+    // ONE explicit bk-keyed exchange feeds every consumer below (hot-key
+    // sizing agg, cold collect_list agg, hot window) — each would
+    // otherwise plan its own exchange, and AQE would coalesce them by
+    // MAP-side bytes even though the cold path explodes ~C(block,2)
+    // pairs downstream (measured round 6: candidates was 24.7 s of the
+    // 180k-page pipeline with the explosion running in a handful of
+    // coalesced tasks). Explicit width = scheduler width (never a local
+    // constant); per-key skew is unchanged vs the implicit exchanges —
+    // cold keys are <= maxBlock rows and hot keys already flow through
+    // the windowed/ranked paths built for them.
     val keyed = keyedBlocks(signatures, touchedBlocks)
+      .repartition(graft.core.Par.spread(signatures.sparkSession), col("bk"))
     // Two-phase block sizing that satisfies BOTH measured lessons:
     //  - r3: joining a full per-key size table back onto `keyed` doubles
     //    the candidate-stage shuffle (email/phone keys are near-unique,
