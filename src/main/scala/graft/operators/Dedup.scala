@@ -219,8 +219,13 @@ object Dedup {
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7): DataFrame = {
-    val sigd = df.select(col(idCol),
+    // materialized once at explicit width: the simhash kernel is
+    // per-row-heavy and both join branches consume the signatures —
+    // uncheckpointed they would each recompute it, single-task on a
+    // single-split input (same shape as minHashPairs)
+    val sigd = materializeOnce(df.select(col(idCol),
       Similarity.simHash64(Normalize.canonicalText(col(textCol))).as("sh64"))
+      .repartition(Par.spread(df.sparkSession), col(idCol)))
     val chunked = sigd.select(
       col(idCol), col("sh64"),
       explode(array((0 until 8).map { c =>

@@ -434,10 +434,18 @@ object ErPipeline {
     val rhs = feat.columns.foldLeft(feat)((d, c) => d.withColumnRenamed(c, c + "2"))
 
     // two hash joins keyed by url — no broadcast (both sides are the full
-    // record table at production scale)
+    // record table at production scale). The pair side carries an
+    // EXPLICIT width: the scorer (two Jaro-Winklers, two Levenshteins, a
+    // cosine per pair) is per-PAIR compute fused into the join stages,
+    // and AQE would coalesce these exchanges by map-side bytes down to a
+    // fraction of the scheduler width (guide par.2.5; the same collapse
+    // measured on the catalog pair queries).
+    val w = graft.core.Par.spread(cands.sparkSession)
     val withBoth = cands
+      .repartition(w, col("url1"))
       .join(lhs.withColumnRenamed("url1", "url1_"), col("url1") === col("url1_"))
       .drop("url1_")
+      .repartition(w, col("url2"))
       .join(rhs.withColumnRenamed("url2", "url2_"), col("url2") === col("url2_"))
       .drop("url2_")
 

@@ -83,6 +83,22 @@ object Catalog {
     */
   private[graft] def spread(s: SparkSession): Int = graft.core.Par.spread(s)
 
+  /** Table scan for per-row-HEAVY projections (quality regexes, language
+    * markers, redaction, simhash — all interpreted higher-order funcs or
+    * multi-regex passes): when the source supplies fewer splits than the
+    * scheduler width (the sf tables are ONE parquet split, so the whole
+    * projection would run in one task — measured: text_quality spent
+    * 1.28 of its 1.43 s in a single task), spread it explicitly. A
+    * many-split production corpus is returned UNTOUCHED — the spread
+    * must never become a full-corpus shuffle at scale; partition count,
+    * not a local constant, makes the decision.
+    */
+  private def tWide(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(s, dir, name)
+    val target = spread(s)
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
   // ---------------------------------------------------------------------
   // Relational core (SURVEY.md par.2.1-2.7)
   // ---------------------------------------------------------------------
@@ -902,7 +918,7 @@ object Catalog {
     * > maxHamming rejection) is covered by DedupSpec.
     */
   val dedupSimhash: Q = (s, dir) => {
-    val d = t(s, dir, "documents")
+    val d = tWide(s, dir, "documents")
     val canon = Normalize.canonicalText(col("text"))
     val planted = d.select(
       (col("doc_id") + PlantOffset).as("doc_id"), col("lang"), col("source"),
@@ -1093,7 +1109,7 @@ object Catalog {
   // ---------------------------------------------------------------------
 
   val textLangid: Q = (s, dir) =>
-    t(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+    tWide(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
 
   val textLangidSql: String = {
     def cnt(w: String) = s"len(list_filter(ws, x -> x = '$w'))"
@@ -1174,7 +1190,7 @@ object Catalog {
       lit(" contact user"), col("doc_id"), lit("@example.com or call 555-"),
       lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-    t(s, dir, "documents").select(
+    tWide(s, dir, "documents").select(
       col("doc_id"),
       TextAnalysis.emailCount(planted).as("n_emails"),
       TextAnalysis.phoneCount(planted).as("n_phones"),
@@ -1366,7 +1382,7 @@ object Catalog {
     val planted = concat(
       Normalize.emptyIfNull(col("text")),
       when(col("doc_id") % 31 === 0, lit(" " + marker)).otherwise(lit("")))
-    val base = t(s, dir, "documents")
+    val base = tWide(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.words(planted).as("ws"))
     val evalSet = base
       .filter(col("doc_id") % 97 === 0 && size(col("ws")) >= 10)
@@ -1514,7 +1530,7 @@ object Catalog {
     val q = TextAnalysis.qualityScore(col("text"))
     val u6 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
     val cutoff = qualityCutoff(q)
-    t(s, dir, "documents").select(
+    tWide(s, dir, "documents").select(
       col("doc_id"), q.as("quality"), u6.as("u6"),
       (q >= 1.0 || u6 < cutoff).as("kept"))
   }
@@ -1619,7 +1635,7 @@ object Catalog {
     */
   val textCurationPipeline: Q = (s, dir) => {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val docs = tWide(s, dir, "documents")
     val fp = docs.select(col("doc_id"), col("lang"), col("text"),
       TextAnalysis.docFingerprint(col("text")).as("fp"))
     val survivors = fp.join(
