@@ -79,8 +79,23 @@ object AsofJoin {
     */
   private def bucketedCarry(
       tagged: DataFrame, key: String, bucketSeconds: Long): DataFrame = {
-    val withB = tagged.withColumn(
-      "_b", floor(unix_timestamp(col("_t")) / lit(bucketSeconds)))
+    // unix_timestamp() yields NULL for types it cannot parse (e.g. a
+    // numeric epoch column): every _b would be NULL and the whole key
+    // would silently collapse back into one window partition — output
+    // still correct, but the hot-key scaling guarantee this parameter
+    // exists for would be silently lost. Support numerics as epoch
+    // seconds explicitly; refuse anything else loudly.
+    val bucketExpr = tagged.schema("_t").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        floor(col("_t").cast("double") / lit(bucketSeconds))
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.StringType =>
+        floor(unix_timestamp(col("_t")) / lit(bucketSeconds))
+      case other => throw new IllegalArgumentException(
+        s"asof bucketSeconds needs a timestamp/date/string/numeric ts column, got $other")
+    }
+    val withB = tagged.withColumn("_b", bucketExpr)
     // running last right-row struct within each (key, bucket): tasks
     // bounded by bucket occupancy, never by whole-key volume
     val wIn = Window.partitionBy(col(key), col("_b"))

@@ -312,15 +312,19 @@ object ErPipeline {
     */
   def candidatesPooled(sourceSigs: DataFrame, searchSigs: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    // Cached: up to five plan branches consume each exploded table (hot
-    // sizing, cold anti-join, band semi-joins); uncached, every branch
-    // would re-evaluate the caller's signature expressions over the
-    // whole pool (the same per-branch trap the unpooled path avoids by
-    // caching sigs in run()).
+    // Materialized once (eager localCheckpoint): up to five plan branches
+    // consume each exploded table (hot sizing, cold anti-join, band semi
+    // joins); unmaterialized, every branch would re-evaluate the caller's
+    // signature expressions over the whole pool (the same per-branch trap
+    // the unpooled path avoids by caching sigs in run()). localCheckpoint
+    // instead of cache(): the blocks are released by the ContextCleaner
+    // when the returned plan is dropped — a long-lived driver running
+    // many pooled matches never accumulates pinned cache entries
+    // (ADVICE r5: the cache() here was never unpersisted).
     val src = sourceSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url1"))
-      .cache()
+      .localCheckpoint()
     val sea = searchSigs.select(explode(col("block_keys")).as("bk"), col("url").as("url2"))
-      .cache()
+      .localCheckpoint()
     // Hot-block bound, mirroring the unpooled path: one hot soundex key
     // must never go |src-block| x |search-block|. Only the HOT search
     // keys (count > maxBlock — the small low-precision population) are
@@ -626,7 +630,17 @@ object ErPipeline {
       .distinct()
       .cache()
     val re = Clustering.clusterAll(reVertices, "url", touchingEdges, "url1", "url2")
-    (reusedAssign.unionByName(re), touchingEdges.count(), edges.count())
+    val nTouching = touchingEdges.count()
+    val nEdges = edges.count()
+    // the CC inside clusterAll has already consumed both caches eagerly
+    // (its edge set is localCheckpointed on entry); release them so
+    // repeated incremental runs in a long-lived driver don't accumulate
+    // cached blocks (ADVICE r5). The returned plan can still recompute
+    // reVertices lazily from the (cached) merged signatures — correct,
+    // just no longer pinned.
+    touchingEdges.unpersist()
+    reVertices.unpersist()
+    (reusedAssign.unionByName(re), nTouching, nEdges)
   }
 
   /** Incremental run (I1 + I2 end-to-end): given the previous run's
@@ -732,6 +746,15 @@ object ErPipeline {
     }
     val stats = IncrementalStats(nStale, rescored.count(), reused.count(),
       nReEdges, nEdges)
+    // every consumer of these intermediates has materialized by now (the
+    // stats counts and the clustering pass populated the downstream
+    // caches that are returned in Result); release them so repeated
+    // incremental runs don't accumulate cached blocks (ADVICE r5).
+    // mergedSigs / toScore / mergedScored stay cached — they ARE the
+    // returned Result.
+    prior.unpersist()
+    stale.unpersist()
+    reused.unpersist()
     (Result(mergedSigs, mergedSigs, toScore, mergedScored, clustered), stats)
   }
 

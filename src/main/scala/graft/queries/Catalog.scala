@@ -172,7 +172,17 @@ object Catalog {
         .stripPrefix("file:").stripPrefix("//")
       graft.core.Fs.deleteRecursively(java.nio.file.Paths.get(wh, name.toLowerCase))
     }
-    if (!s.catalog.tableExists(bo) || !s.catalog.tableExists(bc)) {
+    // a catalog hit alone is not enough: a concurrent driver's stale-
+    // sibling sweep (or an operator rm) can delete the warehouse location
+    // while this session's in-memory catalog still lists the table —
+    // re-verify the data location exists before trusting the memo
+    def located(name: String): Boolean =
+      s.catalog.tableExists(name) && {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:").stripPrefix("//")
+        java.nio.file.Files.exists(java.nio.file.Paths.get(wh, name.toLowerCase))
+      }
+    if (!located(bo) || !located(bc)) {
       fresh(bo); fresh(bc)
       t(s, dir, "orders").select("o_custkey", "o_totalprice")
         .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -1642,9 +1652,9 @@ object Catalog {
       fp.groupBy("fp").agg(min("doc_id").as("doc_id")), Seq("fp", "doc_id"))
     val clean = survivors
       .join(decontaminationHits(s, dir), Seq("doc_id"), "left_anti")
-    val quotas = Seq(
-      ("en", "ff"), ("zh", "7f"), ("es", "7f"), ("de", "3f"), ("fr", "3f"))
-      .toDF("lang", "cutoff")
+    // the SHARED quota table (one edit point with text_mixture_sample and
+    // both oracle twins — a local copy could silently desynchronize)
+    val quotas = mixtureQuotasDf(s)
     def salted(salt: String, len: Int) = substring(
       md5(concat(lit(salt), col("doc_id").cast("string")).cast("binary")), 1, len)
     val q = TextAnalysis.qualityScore(col("text"))
