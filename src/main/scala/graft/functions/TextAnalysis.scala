@@ -17,6 +17,19 @@ object TextAnalysis {
   private def countWord(ws: Column, w: String): Column =
     size(filter(ws, x => x === lit(w)))
 
+  /** Exact-token occurrence count of any of `tokens` in a CANONICAL text
+    * (single-space separated, trimmed): one codegen'd regexp_count pass
+    * instead of one interpreted higher-order filter per token. The
+    * anchors reproduce split-token equality exactly — a match must be
+    * flanked by start/space and space/end, so "is." or "(the" never
+    * match — and canonical text never has doubled spaces, so the
+    * consumed leading separator cannot hide a following token.
+    * Measured round 6: the HOF form ran text_quality's projection at
+    * ~0.26 ms/row, all in one interpreted task.
+    */
+  private def countTokens(canon: Column, tokens: Seq[String]): Column =
+    regexp_count(canon, lit(tokens.mkString("(?:^| )(?:", "|", ")(?= |$)")))
+
   /** Marker-word language scores. The marker lists are fixed constants —
     * a real corpus would use per-language stopword tables; the mechanism
     * (count markers per language, argmax with deterministic tie order) is
@@ -27,10 +40,8 @@ object TextAnalysis {
   val DeMarkers = Seq("window", "group", "batch")
 
   def langScores(text: Column): (Column, Column, Column) = {
-    val ws = words(text)
-    (EnMarkers.map(countWord(ws, _)).reduce(_ + _),
-      EsMarkers.map(countWord(ws, _)).reduce(_ + _),
-      DeMarkers.map(countWord(ws, _)).reduce(_ + _))
+    val c = Normalize.canonicalText(text)
+    (countTokens(c, EnMarkers), countTokens(c, EsMarkers), countTokens(c, DeMarkers))
   }
 
   /** argmax(en, es, de) with ties resolved in that fixed order. */
@@ -52,16 +63,22 @@ object TextAnalysis {
   }
 
   def meanWordLen(text: Column): Column = {
-    val ws = words(text)
+    val c = Normalize.canonicalText(text)
+    val ws = split(c, " ")
+    // sum of word lengths == length(canon) - (word count - 1): canonical
+    // text is single-space separated, so the arithmetic replaces the
+    // interpreted aggregate() lambda with pure codegen — this is the
+    // exact formula the DuckDB oracle twin already uses
     when(size(ws) === 0 || (size(ws) === 1 && element_at(ws, 1) === ""), lit(0.0))
       .otherwise(
-        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+        (length(c) - (size(ws) - 1)).cast("double") / size(ws))
   }
 
   def stopwordRatio(text: Column): Column = {
-    val ws = words(text)
-    val stops = Stopwords.map(countWord(ws, _)).reduce(_ + _)
-    when(size(ws) === 0, lit(0.0)).otherwise(stops.cast("double") / size(ws))
+    val c = Normalize.canonicalText(text)
+    val ws = split(c, " ")
+    when(size(ws) === 0, lit(0.0))
+      .otherwise(countTokens(c, Stopwords).cast("double") / size(ws))
   }
 
   def punctRatio(text: Column): Column = {
