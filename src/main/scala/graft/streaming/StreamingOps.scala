@@ -377,12 +377,34 @@ object StreamingOps {
       .createTempDirectory(s"graft_stream_dedup_in_${counter.incrementAndGet()}")
       .toString
     tempDirs.add(inDir)
-    // one corpus scan for all three staged files, not one per residue
-    full.persist()
-    try for (r <- 0 to 2)
-      stageOne(inDir, full.filter(pmod(col("doc_id"), lit(3)) === r),
-        s"f$r.parquet", 1000000000000L + r * 1000L)
-    finally full.unpersist()
+    // ONE write job stages all three residue files: a partitionBy("_r")
+    // write emits one part file per residue value from a single pass
+    // over the corpus (the previous persist + three filtered writes paid
+    // three jobs plus cache bookkeeping); each part file then moves into
+    // place with its scripted mtime exactly as stageOne would have done.
+    locally {
+      import java.nio.file.{Files, Paths}
+      val staged = s"$inDir/_staged"
+      full.withColumn("_r", pmod(col("doc_id"), lit(3)).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("_r").parquet(staged)
+      for (r <- 0 to 2) {
+        val dir = Paths.get(staged, s"_r=$r")
+        if (Files.exists(dir)) {
+          val listing = Files.list(dir)
+          val part =
+            try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+              .findFirst().get()
+            finally listing.close()
+          Files.move(part, Paths.get(inDir, s"f$r.parquet"))
+          Files.setLastModifiedTime(Paths.get(inDir, s"f$r.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + r * 1000L))
+        } else // an empty residue writes no partition dir — stage an empty file
+          stageOne(inDir, full.filter(pmod(col("doc_id"), lit(3)) === r),
+            s"f$r.parquet", 1000000000000L + r * 1000L)
+      }
+      graft.core.Fs.deleteRecursively(Paths.get(staged))
+    }
     val deduped = streamSession(spark, documentsParquet).readStream
       .schema(full.schema)
       .option("maxFilesPerTrigger", 1)
