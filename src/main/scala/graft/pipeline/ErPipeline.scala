@@ -260,7 +260,16 @@ object ErPipeline {
         Seq("bk", "rn2"))
       .select(col("bk").as("block_key"), col("url1"), col("url2"))
 
+    // url1-keyed explicit exchange BEFORE the pair dedup: hash clustering
+    // on url1 alone satisfies the (url1, url2) grouping requirement (equal
+    // pairs share url1), so the aggregate plans no second exchange — and
+    // the output partitioning is exactly what scorePairs' first feature
+    // join needs, so the scored path re-shuffles the pair table once
+    // less. Skew bound: a record's pair fan-out is bounded by its block
+    // memberships (cold <= maxBlock - 1 per key, hot <= 2*hotWindow per
+    // key), never by corpus size.
     val deduped = coldPairs.unionByName(hotPairs).unionByName(giantPairs)
+      .repartition(graft.core.Par.spread(signatures.sparkSession), col("url1"))
       .groupBy("url1", "url2")
       // A8 dedup, deterministic min; the shared-key count ranks pair
       // strength for the per-record cap below
@@ -444,9 +453,13 @@ object ErPipeline {
     // and AQE would coalesce these exchanges by map-side bytes down to a
     // fraction of the scheduler width (guide par.2.5; the same collapse
     // measured on the catalog pair queries).
+    // no explicit url1 repartition here: candidates() already emits the
+    // pair table hash-partitioned by url1 at the scheduler width, so this
+    // join only shuffles the feature side (a caller passing arbitrary
+    // pairs still gets a correct co-partitioning exchange from the
+    // planner)
     val w = graft.core.Par.spread(cands.sparkSession)
     val withBoth = cands
-      .repartition(w, col("url1"))
       .join(lhs.withColumnRenamed("url1", "url1_"), col("url1") === col("url1_"))
       .drop("url1_")
       .repartition(w, col("url2"))
