@@ -32,12 +32,16 @@ object Compaction {
     * range-disjoint files sorted by `sortCol`. Content is preserved
     * exactly (same rows, any order); the caller owns `outDir` cleanup.
     */
+  /** `rowsHint >= 0` skips the row-count scan (callers that already
+    * counted the input pass it through — one less full read of the
+    * directory being compacted); negative means count here.
+    */
   def compact(
       spark: SparkSession, inDir: String, outDir: String,
-      sortCol: String, targetRowsPerFile: Long): Stats = {
+      sortCol: String, targetRowsPerFile: Long, rowsHint: Long = -1L): Stats = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile: $targetRowsPerFile")
     val in = spark.read.parquet(inDir)
-    val rows = in.count()
+    val rows = if (rowsHint >= 0) rowsHint else in.count()
     val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     in.repartitionByRange(files, col(sortCol))
       .sortWithinPartitions(sortCol)

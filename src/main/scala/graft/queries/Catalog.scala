@@ -579,6 +579,10 @@ object Catalog {
       .filter(col("k1") =!= col("k2"))
       .select(col("k1"), col("k2"),
         round(Similarity.jaroWinkler(col("n1"), col("n2")), 4).as("jw"))
+      // explicit width for the top-k window's exchange too: AQE would
+      // coalesce the 1.8M scored rows to a couple of partitions and
+      // serialize the per-k1 sort
+      .repartition(spread(s), col("k1"))
     val w = Window.partitionBy("k1").orderBy(col("jw").desc, col("k2"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -1756,27 +1760,38 @@ object Catalog {
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "graft_compact_")
     val src = t(s, dir, "documents")
     src.repartition(32).write.mode("overwrite").parquet(s"$root/frag")
-    def chk(df: DataFrame): Long = {
+    // ONE pass per side: the per-file aggregate carries row count,
+    // order-free content checksum AND the sort-key range together (xor
+    // of per-file xors == the global xor, sum of per-file counts == n),
+    // so each directory is read once instead of the previous
+    // count + checksum + ranges trio of scans; the compactor reuses the
+    // already-known row count as a hint for the same reason.
+    def fileStats(df: DataFrame) = {
       val cs = df.columns.sorted.map(col).toSeq
-      df.agg(coalesce(bit_xor(xxhash64(cs: _*)), lit(0L))).head().getLong(0)
+      df.groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(cs: _*)), lit(0L)).as("x"),
+          min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .collect() // one row per part file — bounded
     }
-    val frag = s.read.parquet(s"$root/frag")
-    val n = frag.count()
+    val fragStats = fileStats(s.read.parquet(s"$root/frag"))
+    val n = fragStats.map(_.getLong(1)).sum
+    val fragChk = fragStats.map(_.getLong(2)).foldLeft(0L)(_ ^ _)
     val st = graft.plans.Compaction.compact(
-      s, s"$root/frag", s"$root/compacted", "doc_id", math.max(1L, (n + 3) / 4))
-    val out = s.read.parquet(s"$root/compacted")
-    val ranges = out.groupBy(input_file_name().as("f"))
-      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-      .orderBy("lo").collect() // one row per part file — bounded
-    val disjoint = ranges.sliding(2).forall {
-      case Array(a, b) => a.getLong(2) < b.getLong(1)
+      s, s"$root/frag", s"$root/compacted", "doc_id",
+      math.max(1L, (n + 3) / 4), rowsHint = n)
+    val outStats = fileStats(s.read.parquet(s"$root/compacted")).sortBy(_.getLong(3))
+    val nOut = outStats.map(_.getLong(1)).sum
+    val outChk = outStats.map(_.getLong(2)).foldLeft(0L)(_ ^ _)
+    val disjoint = outStats.sliding(2).forall {
+      case Array(a, b) => a.getLong(4) < b.getLong(3)
       case _ => true
     }
     s.range(1).select(
       lit(n).as("n_rows"),
-      lit(st.rows == n && chk(out) == chk(frag)).as("rows_preserved"),
+      lit(st.rows == n && nOut == n && outChk == fragChk).as("rows_preserved"),
       lit(st.filesBefore > st.filesAfter && st.filesAfter <= 4).as("files_bounded"),
-      lit(disjoint && ranges.length == st.filesAfter).as("range_disjoint"))
+      lit(disjoint && outStats.length == st.filesAfter).as("range_disjoint"))
   }
 
   val qCompactRoundtripSql: String =
