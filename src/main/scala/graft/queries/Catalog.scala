@@ -184,10 +184,18 @@ object Catalog {
       }
     if (!located(bo) || !located(bc)) {
       fresh(bo); fresh(bc)
+      // pre-partition by the bucket column with the bucket count: the
+      // bucketed writer assigns rows to bucket files with the same hash,
+      // so each task holds exactly one bucket — the stage writes 8 files
+      // with 8 parallel local sorts instead of one single-split task
+      // sorting and writing all 8 (correct either way; this is layout
+      // alignment, not semantics)
       t(s, dir, "orders").select("o_custkey", "o_totalprice")
+        .repartition(8, col("o_custkey"))
         .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
         .saveAsTable(bo)
       t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .repartition(8, col("c_custkey"))
         .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(bc)
       val wh = s.conf.get("spark.sql.warehouse.dir")
