@@ -269,6 +269,38 @@ object StreamingOps {
       java.nio.file.attribute.FileTime.fromMillis(mtime))
   }
 
+  /** Stage several data files in ONE write job: union the frames with an
+    * index tag, write partitionBy(tag) from a single task (one part file
+    * per tag value), then move each file into place with its scripted
+    * mtime — replaces one write job PER staged file. A tag that produced
+    * no rows writes no partition directory; it falls back to the
+    * per-frame path so an empty staged file still appears.
+    */
+  private[graft] def stageMany(
+      inDir: String, frames: Seq[(DataFrame, String, Long)]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val staged = s"$inDir/_staged_${counter.incrementAndGet()}"
+    frames.zipWithIndex
+      .map { case ((df, _, _), i) => df.withColumn("_f", lit(i)) }
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.partitionBy("_f").parquet(staged)
+    frames.zipWithIndex.foreach { case ((df, name, mtime), i) =>
+      val dir = Paths.get(staged, s"_f=$i")
+      if (Files.exists(dir)) {
+        val listing = Files.list(dir)
+        val part =
+          try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().get()
+          finally listing.close()
+        Files.move(part, Paths.get(inDir, name))
+        Files.setLastModifiedTime(Paths.get(inDir, name),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      } else stageOne(inDir, df, name, mtime)
+    }
+    graft.core.Fs.deleteRecursively(Paths.get(staged))
+  }
+
   /** Watermark late-data discard, exercised for real: the input is staged
     * as THREE files with ordered modification times — files A and B
     * together map every event into day-2 hourly windows, file C maps the
@@ -302,9 +334,10 @@ object StreamingOps {
       .createTempDirectory(s"graft_stream_late_in_${counter.incrementAndGet()}")
       .toString
     tempDirs.add(inDir)
-    stageOne(inDir, staged("2026-01-02 00:00:00", Some(0)), "a_ontime.parquet", 1000000000000L)
-    stageOne(inDir, staged("2026-01-02 00:00:00", Some(1)), "b_ontime.parquet", 1000000001000L)
-    stageOne(inDir, staged("2026-01-01 00:00:00", None), "c_late.parquet", 1000000002000L)
+    stageMany(inDir, Seq(
+      (staged("2026-01-02 00:00:00", Some(0)), "a_ontime.parquet", 1000000000000L),
+      (staged("2026-01-02 00:00:00", Some(1)), "b_ontime.parquet", 1000000001000L),
+      (staged("2026-01-01 00:00:00", None), "c_late.parquet", 1000000002000L)))
 
     val agg = streamSession(spark, eventsParquet).readStream
       .schema(staged("2026-01-02 00:00:00", None).schema)
@@ -377,34 +410,12 @@ object StreamingOps {
       .createTempDirectory(s"graft_stream_dedup_in_${counter.incrementAndGet()}")
       .toString
     tempDirs.add(inDir)
-    // ONE write job stages all three residue files: a partitionBy("_r")
-    // write emits one part file per residue value from a single pass
-    // over the corpus (the previous persist + three filtered writes paid
-    // three jobs plus cache bookkeeping); each part file then moves into
-    // place with its scripted mtime exactly as stageOne would have done.
-    locally {
-      import java.nio.file.{Files, Paths}
-      val staged = s"$inDir/_staged"
-      full.withColumn("_r", pmod(col("doc_id"), lit(3)).cast("int"))
-        .coalesce(1)
-        .write.partitionBy("_r").parquet(staged)
-      for (r <- 0 to 2) {
-        val dir = Paths.get(staged, s"_r=$r")
-        if (Files.exists(dir)) {
-          val listing = Files.list(dir)
-          val part =
-            try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-              .findFirst().get()
-            finally listing.close()
-          Files.move(part, Paths.get(inDir, s"f$r.parquet"))
-          Files.setLastModifiedTime(Paths.get(inDir, s"f$r.parquet"),
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + r * 1000L))
-        } else // an empty residue writes no partition dir — stage an empty file
-          stageOne(inDir, full.filter(pmod(col("doc_id"), lit(3)) === r),
-            s"f$r.parquet", 1000000000000L + r * 1000L)
-      }
-      graft.core.Fs.deleteRecursively(Paths.get(staged))
-    }
+    // ONE write job stages all three residue files (stageMany; was
+    // persist + three filtered writes — three jobs plus cache
+    // bookkeeping)
+    stageMany(inDir, (0 to 2).map(r =>
+      (full.filter(pmod(col("doc_id"), lit(3)) === r),
+        s"f$r.parquet", 1000000000000L + r * 1000L)))
     val deduped = streamSession(spark, documentsParquet).readStream
       .schema(full.schema)
       .option("maxFilesPerTrigger", 1)
